@@ -1,0 +1,291 @@
+"""Relational re-expressions of the reference's dataflow operators
+(SURVEY.md §2.2–§2.6), phrased over the driver testdata tables so each is
+DuckDB-oracle-checkable.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; column names are
+aliased to match the oracle SQL in deepcrawl4ai_spark.registry exactly.
+
+Scale notes (100 TB design):
+- aggregations are plain groupBy → map-side partial agg + single shuffle;
+- top-k per group uses row_number over a hash-partitioned window (one shuffle,
+  no global sort);
+- small-dimension joins are explicitly broadcast;
+- anti-joins express the seen-set "exact rescue" path (SURVEY.md J3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from deepcrawl4ai_spark.sources.tables import load_table
+
+
+# --- A-family: aggregations (reference crawl.py:533-565, monitor.py:158-197) ---
+
+def a1_success_fail_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-round success/fail counting (reference crawl.py:533-565).
+    Round proxy = event day; failure proxy = event_type='error'."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("round_day"))
+        .agg(
+            F.count(F.when(F.col("event_type") != "error", 1)).alias("success_count"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("fail_count"),
+            F.count("*").alias("total"),
+        )
+    )
+
+
+def a2_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: error-rate = errors/total per operation (reference monitor.py:158-173)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+            F.count("*").alias("total"),
+        )
+        .withColumn(
+            "error_rate", F.round(F.col("errors") / F.col("total"), 6)
+        )
+    )
+
+
+def a4_operation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-operation duration/peak-memory/urls_processed rollup
+    (reference tasks.py:472-507)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.max("value"), 4).alias("peak_value"),
+            F.count("*").alias("urls_processed"),
+            F.countDistinct("user_id").alias("distinct_ops"),
+        )
+    )
+
+
+def a6_queue_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: queue length per queue (reference monitor.py:68-71) — count of
+    'queued' items per user (queue proxy)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("queue_len"))
+    )
+
+
+def r1_dynamic_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/X1: dynamic rate limit = max(10, 100*min(1-cpu, 1-mem, 1-err))
+    (reference monitor.py:200-238). cpu/mem proxies derived from event values."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        (F.avg("value") / 1000.0).alias("cpu"),
+        (F.max("value") / 2000.0).alias("mem"),
+        (
+            F.count(F.when(F.col("event_type") == "error", 1)) / F.count("*")
+        ).alias("err"),
+    )
+    limit = F.greatest(
+        F.lit(10.0),
+        F.floor(
+            100.0
+            * F.least(1.0 - F.col("cpu"), 1.0 - F.col("mem"), 1.0 - F.col("err"))
+        ).cast("double"),
+    )
+    return per_user.select(
+        "user_id",
+        F.round("cpu", 6).alias("cpu"),
+        F.round("mem", 6).alias("mem"),
+        F.round("err", 6).alias("err"),
+        limit.alias("rate_limit"),
+    )
+
+
+# --- O-family: ordering / limits / top-k (reference crawl.py:146-184,229-240) ---
+
+def o1_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/S4: frontier pop = top-k per host by (score desc, key asc)
+    (reference crawl.py:148-184). Host proxy = o_custkey, score = o_totalprice.
+    Single shuffle on the partition key; no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def o2_round_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/X1: global round budget — take the best 100 candidates overall
+    (reference crawl.py:229-240). TakeOrderedAndProject, not a full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def t8_due_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8/S5: scheduled-task release — only items due by the watermark run
+    (reference crawl.py:146-168, utils.py:161-173)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("due_count"), F.max("ts").alias("last_due"))
+    )
+
+
+def r8_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8: retry with exponential backoff + deterministic jitter
+    (reference utils.py:383-399: delay = min(5, 0.5*2^n + U(0, 0.5))).
+    Jitter is a pure hash of the key so replays are exact."""
+    events = load_table(spark, sf_dir, "events")
+    attempt = (F.col("event_id") % 5).cast("int")
+    jitter = ((F.col("event_id") * F.lit(2654435761)) % 4294967296) % 1000 / 2000.0
+    delay = F.least(F.lit(5.0), F.lit(0.5) * F.pow(F.lit(2.0), attempt) + jitter)
+    return events.select(
+        "event_id",
+        attempt.alias("attempt"),
+        F.round(delay, 6).alias("backoff_s"),
+    )
+
+
+# --- J-family: dedup / lookups (reference job.py:471-484, crawler_pool.py:21-49) ---
+
+def j1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: stream-message dedup by unique id (reference job.py:471-484) —
+    first event per (user_id, event_type)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count("*").alias("dups")
+    )
+
+
+def j3_exact_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 exact rescue path: candidates NOT in the seen set = left anti-join
+    (SURVEY.md J3). Customers with no orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def j4_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5: metadata lookup = broadcast equi-join (reference job.py:252-288,
+    crawlstore.py:37-72). Revenue per market segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def j5_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: two-level dimension lookup — nation→region broadcast chain."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+# --- P-family: projections / predicates (reference utils.py, job.py) ---
+
+def p2_url_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: reject non-http(s) URLs (reference job.py:187-193). URLs are
+    synthesized deterministically from doc_id so the oracle can rebuild them."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".com/p/"), F.col("doc_id")),
+    ).when(
+        F.col("doc_id") % 3 == 1,
+        F.concat(F.lit("ftp://"), F.col("source"), F.lit(".com/p/"), F.col("doc_id")),
+    ).otherwise(F.concat(F.lit("not a url "), F.col("doc_id")))
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .filter(F.col("url").rlike("^https?://"))
+        .select("doc_id", "url")
+    )
+
+
+def p5_external_link_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: exclude_external_links (reference actions.py:246-247) — keep links
+    whose destination host equals the source host."""
+    orders = load_table(spark, sf_dir, "orders")
+    links = orders.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 10)).alias("src_host"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 13)).alias("dst_host"),
+        "o_orderkey",
+    )
+    return (
+        links.filter(F.col("src_host") == F.col("dst_host"))
+        .groupBy("src_host")
+        .agg(F.count("*").alias("internal_links"))
+    )
+
+
+def p7_status_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: TaskStatus → UI color (reference utils.py:183-204) as a when-chain."""
+    events = load_table(spark, sf_dir, "events")
+    color = (
+        F.when(F.col("event_type") == "error", "red")
+        .when(F.col("event_type") == "purchase", "green")
+        .when(F.col("event_type") == "signup", "blue")
+        .when(F.col("event_type") == "click", "yellow")
+        .otherwise("gray")
+    )
+    return events.select(color.alias("color")).groupBy("color").agg(
+        F.count("*").alias("n")
+    )
+
+
+def p8_status_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: Celery 6-state → domain 10-state mapping (reference utils.py:225-235)."""
+    events = load_table(spark, sf_dir, "events")
+    celery = (
+        F.when(F.col("event_id") % 6 == 0, "PENDING")
+        .when(F.col("event_id") % 6 == 1, "STARTED")
+        .when(F.col("event_id") % 6 == 2, "SUCCESS")
+        .when(F.col("event_id") % 6 == 3, "FAILURE")
+        .when(F.col("event_id") % 6 == 4, "RETRY")
+        .otherwise("REVOKED")
+    )
+    domain = (
+        F.when(celery == "PENDING", "pending")
+        .when(celery == "STARTED", "in_progress")
+        .when(celery == "SUCCESS", "completed")
+        .when(celery == "FAILURE", "failed")
+        .when(celery == "RETRY", "retrying")
+        .otherwise("revoked")
+    )
+    return (
+        events.select(domain.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )

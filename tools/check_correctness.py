@@ -1,0 +1,116 @@
+"""Dev harness mimicking the driver: run each registry query in Spark and its
+oracle in DuckDB at sf0.01, compare row count, column names, and an
+order-insensitive value hash.
+
+Usage: python tools/check_correctness.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    from deepcrawl4ai_spark.registry import QUERIES, ORACLES
+    from deepcrawl4ai_spark.session import get_spark
+
+    names = sys.argv[1:] or list(QUERIES)
+    spark = get_spark("check_correctness", cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    failures = 0
+    for name in names:
+        if name not in QUERIES:
+            print(f"FAIL  {name}: unknown query (known: {sorted(QUERIES)[:5]}...)")
+            failures += 1
+            continue
+        fn = QUERIES[name]
+        try:
+            sdf = fn(spark, SF_DIR)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            s_cols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in ORACLES:
+            print(f"weak  {name}: rows={len(s_rows)} (no oracle)")
+            continue
+        try:
+            res = con.execute(ORACLES[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rows {len(s_rows)} vs {len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
+        if not problems:
+            sh = value_hash(s_rows, s_cols)
+            dh = value_hash(d_rows, d_cols)
+            if sh != dh:
+                problems.append("value-hash mismatch")
+                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                sset = sorted("|".join(_norm_cell(r[i]) for i in order_s) for r in s_rows)
+                dset = sorted("|".join(_norm_cell(r[i]) for i in order_d) for r in d_rows)
+                for a, b in zip(sset, dset):
+                    if a != b:
+                        problems.append(f"first diff:\n  spark: {a}\n  duck : {b}")
+                        break
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"ok    {name}: rows={len(s_rows)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
