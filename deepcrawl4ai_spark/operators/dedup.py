@@ -1,0 +1,218 @@
+"""Deduplication operator family for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
+SimHash, and n-gram Jaccard — all expressed with built-in Spark SQL functions
+(no Python in the hot path), so the whole pipeline stays in whole-stage
+codegen and scales by shuffle on content-hash keys.
+
+Scale notes (100 TB):
+- exact dedup is one shuffle on md5(text) — the cheapest possible;
+- minhash avoids materializing the shingle set per pair: one explode +
+  per-doc agg (map-side partial min), then a self-join on (band, bucket)
+  where buckets are tiny by construction;
+- simhash is explode + sum, again map-side combinable;
+- the n-gram Jaccard here uses blocking (lang) to bound the pair space —
+  at full scale the LSH variant replaces it as the candidate generator.
+
+Hash parity contract with the DuckDB oracles: shingle/word hash =
+first 8 hex chars of md5 → integer (Spark: conv(,16,10); DuckDB:
+CAST('0x'||… AS BIGINT)); minhash h_i(x) = (a_i*x + b_i) mod P.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepcrawl4ai_spark.sources.tables import load_table
+
+P = 1_000_000_007
+# fixed (a, b) for the 8 minhash permutations — shared with the oracle SQL
+MINHASH_PARAMS = [
+    (2971, 1045),
+    (1583, 2099),
+    (2221, 3187),
+    (1777, 4229),
+    (2663, 5281),
+    (1987, 6311),
+    (2357, 7393),
+    (2741, 8443),
+]
+
+
+def _words(col):
+    return F.split(col, " ")
+
+
+def _hex_hash(col):
+    """First 8 hex chars of md5 as a bigint — identical to the oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _shingles(words_col):
+    """Word 3-grams; empty when the doc has <3 words."""
+    return F.when(
+        F.size(words_col) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words_col) - 3),
+            lambda i: F.concat_ws(
+                " ", words_col[i], words_col[i + 1], words_col[i + 2]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) groupBy; per doc its fingerprint + duplicate
+    count in its group (1 = unique)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("fingerprint"))
+    counts = fp.groupBy("fingerprint").agg(F.count("*").alias("n_dups"))
+    return fp.join(counts, "fingerprint").select("doc_id", "fingerprint", "n_dups")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: 8 permutations, 8 bands × 1 row.
+    Two docs are candidates iff any minhash matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    sh = w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh"))
+    x = (_hex_hash(F.col("sh")) % P).alias("x")
+    h = sh.select("doc_id", x)
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % P).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    mh = h.groupBy("doc_id").agg(*aggs)
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"m{i}").alias("bucket")
+                    )
+                    for i in range(len(MINHASH_PARAMS))
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc from word hashes (+1/-1 per bit, sign → bit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    w = w.select("doc_id", _hex_hash(F.col("word")).alias("wx"))
+    # (b, 2^b) pairs as a literal array — keeps bit extraction in exact
+    # integer arithmetic (shiftright/shiftleft need literal counts)
+    planes = F.array(
+        *[
+            F.struct(F.lit(b).alias("b"), F.lit(1 << b).cast("long").alias("p2"))
+            for b in range(16)
+        ]
+    )
+    bits = w.select("doc_id", "wx", F.explode(planes).alias("bp")).select(
+        "doc_id", "wx", F.col("bp.b").alias("b"), F.col("bp.p2").alias("p2")
+    )
+    contrib = F.when((F.col("wx") % (F.col("p2") * 2)) >= F.col("p2"), 1).otherwise(-1)
+    per_bit = bits.groupBy("doc_id", "b", "p2").agg(F.sum(contrib).alias("s"))
+    bitval = F.when(F.col("s") > 0, F.col("p2")).otherwise(0)
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(F.sum(bitval).alias("simhash"))
+        .select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup with lang blocking: pairs sharing ≥1 word
+    3-gram within the same lang; jaccard = |∩| / |∪| over distinct shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "lang", _words(F.col("text")).alias("w"))
+    sh = w.select(
+        "doc_id", "lang", F.explode(_shingles(F.col("w"))).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= 0.02)
+
+
+def _dot(a, b):
+    """Left-fold dot product in double — fold order matches the oracle's
+    list_reduce exactly (0.0 + v1 ≡ v1 in IEEE)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with label blocking: same-label pairs with
+    cosine ≥ 0.3 (the synthetic corpus has no true dups; this surfaces the
+    closest-pair tail)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )

@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the scale path (candidate generation via random-hyperplane signs,
+then exact re-rank inside buckets — the join is on a short bit-signature so
+the pair space collapses from O(n·q) to bucket-local).
+
+All arithmetic is built-in Spark SQL (zip_with/aggregate fold in double) —
+fold order matches the DuckDB oracle's list_reduce, so value hashes agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from deepcrawl4ai_spark.sources.tables import load_table
+
+# deterministic pseudo-random hyperplanes: plane p, dim d weight
+#   w(p, d) = ((1 + p*64 + d) * 2654435761 mod 2^32) / 2^31 - 1  ∈ [-1, 1)
+N_PLANES = 8
+DIM = 64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10: query set = vec_id < 10, corpus = the rest.
+    Broadcast the small query side; rank with a per-query window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nrm")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    corpus = e.filter(F.col("vec_id") >= 10)
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id", cos.alias("cos_raw")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "rk")
+    )
+
+
+def _hyperplane_sig(v):
+    """Bit-signature: sign of v·w(p) for each pseudo-random plane p,
+    packed into an int. Pure SQL arithmetic — identical in the oracle."""
+    sig = F.lit(0)
+    for p in range(N_PLANES):
+        # w(p,d) derived via a Weyl-style integer hash → [-1,1)
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                lambda x, d: x.cast("double")
+                * (
+                    ((F.lit(1 + p * 64) + d) * 2654435761 % 4294967296)
+                    / 2147483648.0
+                    - 1.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return sig
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucketing stats: random-hyperplane signature per vector, bucket
+    occupancy per signature — the candidate-generation layer of scaled ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = _hyperplane_sig(F.col("embedding")).alias("sig")
+    return (
+        emb.select("vec_id", "label", sig)
+        .groupBy("sig")
+        .agg(F.count("*").alias("bucket_size"), F.countDistinct("label").alias("n_labels"))
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: exact cosine re-rank restricted to signature-equal
+    candidates (queries = vec_id < 10). The scale path: the join key is the
+    signature, so each query only scores its bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        _norm(F.col("embedding")).alias("nrm"),
+        _hyperplane_sig(F.col("embedding")).alias("sig"),
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("sig").alias("qsig"),
+    )
+    corpus = e.filter(F.col("vec_id") >= 10)
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = corpus.join(F.broadcast(q), F.col("sig") == F.col("qsig")).select(
+        "qid", "vec_id", cos.alias("cos_raw")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "rk")
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting, and the
+reference's content filters re-expressed columnar (SURVEY.md C2/C3).
+
+Everything is built-in Spark SQL (regexp/split/aggregate folds) — JVM-side,
+codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepcrawl4ai_spark.sources.tables import load_table
+
+FP_PRIME = 1_000_000_007
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score from length / stopword ratio / mean word length —
+    pure arithmetic so the oracle reproduces it exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_stop = F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|to|and)\b"))
+    avg_wlen = (F.col("n_chars") - (n_words - 1)) / n_words
+    stop_ratio = n_stop / n_words
+    score = F.round(
+        (1.0 - stop_ratio) * F.least(F.lit(1.0), avg_wlen / 8.0), 6
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic: score three marker sets, argmax with
+    deterministic tie-break, compared against the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    s_en = F.regexp_count(F.col("text"), F.lit(r"\b(the|data|key|row)\b"))
+    s_tech = F.regexp_count(F.col("text"), F.lit(r"\b(spark|query|join|hash)\b"))
+    s_db = F.regexp_count(F.col("text"), F.lit(r"\b(table|merge|sort|scan)\b"))
+    pred = (
+        F.when((s_en >= s_tech) & (s_en >= s_db), "en")
+        .when(s_tech >= s_db, "tech")
+        .otherwise("db")
+    )
+    return docs.select(
+        "doc_id",
+        s_en.alias("s_en"),
+        s_tech.alias("s_tech"),
+        s_db.alias("s_db"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).cast("int").alias("matches_label"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of the text + a rolling polynomial hash
+    over word lengths (left fold, acc*31 + len mod P)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = F.transform(F.split(F.col("text"), " "), lambda w: F.length(w).cast("long"))
+    rolling = F.aggregate(
+        lens, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % FP_PRIME
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_fp"),
+        rolling.alias("rolling_fp"),
+    )
+
+
+def c2_pruning_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: pruning content filter (reference crawl.py:338-345:
+    min_word_threshold=5, threshold 0.45) — flat-text analog: keep docs with
+    ≥5 words and density score ≥ threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    density = F.col("n_chars") / (n_words * 8.0)
+    return (
+        docs.select(
+            "doc_id", n_words.alias("n_words"), F.round(density, 6).alias("density")
+        )
+        .filter((F.col("n_words") >= 5) & (F.col("density") >= 0.45))
+    )
+
+
+def c3_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: BM25 content ranking vs a fixed query {spark, join}
+    (reference BM25ContentFilter, api.py:218). k1=1.2, b=0.75; IDF and
+    avgdl computed over the corpus — two scans, one tiny cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    d = docs.select(
+        "doc_id",
+        n_words.cast("double").alias("dl"),
+        F.regexp_count(F.col("text"), F.lit(r"\bspark\b")).cast("double").alias("tf1"),
+        F.regexp_count(F.col("text"), F.lit(r"\bjoin\b")).cast("double").alias("tf2"),
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.sum((F.col("tf1") > 0).cast("double")).alias("df1"),
+        F.sum((F.col("tf2") > 0).cast("double")).alias("df2"),
+    )
+    j = d.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    k1, b = 1.2, 0.75
+
+    def bm25(tf, df):
+        idf = F.log(
+            (F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0
+        )
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * F.col("dl") / avgdl))
+
+    score = F.round(bm25(F.col("tf1"), F.col("df1")) + bm25(F.col("tf2"), F.col("df2")), 6)
+    return j.select("doc_id", score.alias("bm25")).filter(F.col("bm25") > 0)

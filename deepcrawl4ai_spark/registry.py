@@ -284,3 +284,335 @@ _q(
     FROM events GROUP BY 1
     """,
 )
+
+# --- Dedup family (training-data ops) ---------------------------------------
+
+from deepcrawl4ai_spark.operators import dedup as D  # noqa: E402
+from deepcrawl4ai_spark.operators import similarity as S  # noqa: E402
+from deepcrawl4ai_spark.operators import textops as X  # noqa: E402
+
+_q(
+    "dedup_exact",
+    D.dedup_exact,
+    """
+    WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+    c AS (SELECT fingerprint, count(*) AS n_dups FROM fp GROUP BY 1)
+    SELECT doc_id, fp.fingerprint, n_dups FROM fp JOIN c USING (fingerprint)
+    """,
+)
+
+# MinHash SQL is generated from the same params as the Spark side.
+_MH_SQL_COMMON = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 3
+                    THEN list_transform(generate_series(1, len(w) - 2),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    ELSE [] END) AS sh
+      FROM w
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % 1000000007 AS x
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, {min_exprs}
+      FROM h GROUP BY doc_id
+    ),
+    bands AS (
+      {band_union}
+    )
+"""
+
+
+def _minhash_sql() -> str:
+    from deepcrawl4ai_spark.operators.dedup import MINHASH_PARAMS, P
+
+    mins = ", ".join(
+        f"min(({a} * x + {b}) % {P}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, m{i} AS bucket FROM mh"
+        for i in range(len(MINHASH_PARAMS))
+    )
+    body = _MH_SQL_COMMON.format(min_exprs=mins, band_union=bands)
+    return (
+        body
+        + """
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+    )
+
+
+_q("dedup_minhash_lsh", D.dedup_minhash_lsh, _minhash_sql())
+
+_q(
+    "dedup_simhash",
+    D.dedup_simhash,
+    """
+    WITH wx AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS wx
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (wx >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      FROM wx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+
+_q(
+    "dedup_ngram_jaccard",
+    D.dedup_ngram_jaccard,
+    """
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, lang,
+             unnest(CASE WHEN len(w) >= 3
+                    THEN list_transform(generate_series(1, len(w) - 2),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    ELSE [] END) AS sh
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, n_common,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc1 = sa.doc_id
+    JOIN sizes sb ON doc2 = sb.doc_id
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.02
+    """,
+)
+
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+_q(
+    "dedup_embedding_cosine",
+    D.dedup_embedding_cosine,
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round({_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) >= 0.3
+    """,
+)
+
+# --- Similarity search --------------------------------------------------------
+
+_q(
+    "ann_topk_cosine",
+    S.ann_topk_cosine,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id,
+             {_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cos_raw
+      FROM e q CROSS JOIN e c
+      WHERE q.vec_id < 10 AND c.vec_id >= 10
+    )
+    SELECT qid, vec_id, round(cos_raw, 6) AS cosine, rk FROM (
+      SELECT qid, vec_id, cos_raw,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_raw DESC, vec_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+
+
+def _sig_sql(v: str) -> str:
+    from deepcrawl4ai_spark.operators.similarity import N_PLANES
+
+    terms = []
+    for p in range(N_PLANES):
+        proj = (
+            f"list_reduce(list_transform(generate_series(1, 64), "
+            f"i -> CAST({v}[i] AS DOUBLE) * "
+            f"(((1 + {p * 64} + (i - 1)) * 2654435761) % 4294967296 "
+            f"/ 2147483648.0 - 1.0)), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_q(
+    "ann_lsh_buckets",
+    S.ann_lsh_buckets,
+    f"""
+    SELECT {_sig_sql('embedding')} AS sig,
+           count(*) AS bucket_size,
+           count(DISTINCT label) AS n_labels
+    FROM embeddings GROUP BY 1
+    """,
+)
+
+_q(
+    "ann_lsh_topk",
+    S.ann_lsh_topk,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm,
+             {_sig_sql('embedding')} AS sig
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id,
+             {_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cos_raw
+      FROM e q JOIN e c ON q.sig = c.sig
+      WHERE q.vec_id < 10 AND c.vec_id >= 10
+    )
+    SELECT qid, vec_id, round(cos_raw, 6) AS cosine, rk FROM (
+      SELECT qid, vec_id, cos_raw,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_raw DESC, vec_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+
+# --- Text analysis -------------------------------------------------------------
+
+_q(
+    "text_token_count",
+    X.text_token_count,
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+
+_q(
+    "text_quality_score",
+    X.text_quality_score,
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_stopwords,
+           round(n_stopwords * 1.0 / n_words, 6) AS stop_ratio,
+           round((1.0 - n_stopwords * 1.0 / n_words)
+                 * least(1.0, ((n_chars - (n_words - 1)) * 1.0 / n_words) / 8.0), 6)
+             AS quality_score
+    FROM t
+    """,
+)
+
+_q(
+    "text_langid",
+    X.text_langid,
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '\\b(the|data|key|row)\\b')) AS s_en,
+             len(regexp_extract_all(text, '\\b(spark|query|join|hash)\\b')) AS s_tech,
+             len(regexp_extract_all(text, '\\b(table|merge|sort|scan)\\b')) AS s_db
+      FROM documents
+    )
+    SELECT doc_id, s_en, s_tech, s_db,
+           CASE WHEN s_en >= s_tech AND s_en >= s_db THEN 'en'
+                WHEN s_tech >= s_db THEN 'tech'
+                ELSE 'db' END AS pred_lang,
+           CAST(CASE WHEN s_en >= s_tech AND s_en >= s_db THEN 'en'
+                     WHEN s_tech >= s_db THEN 'tech'
+                     ELSE 'db' END = lang AS INTEGER) AS matches_label
+    FROM t
+    """,
+)
+
+_q(
+    "text_fingerprint",
+    X.text_fingerprint,
+    """
+    SELECT doc_id, md5(text) AS md5_fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '), w -> CAST(len(w) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+    FROM documents
+    """,
+)
+
+_q(
+    "c2_pruning_filter",
+    X.c2_pruning_filter,
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_words, round(n_chars / (n_words * 8.0), 6) AS density
+    FROM t
+    WHERE n_words >= 5 AND round(n_chars / (n_words * 8.0), 6) >= 0.45
+    """,
+)
+
+_q(
+    "c3_bm25_rank",
+    X.c3_bm25_rank,
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+             CAST(len(regexp_extract_all(text, '\\bspark\\b')) AS DOUBLE) AS tf1,
+             CAST(len(regexp_extract_all(text, '\\bjoin\\b')) AS DOUBLE) AS tf2
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+             sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+      FROM d
+    )
+    SELECT doc_id,
+           round(
+             ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+               * (tf1 * 2.2) / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+             + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+               * (tf2 * 2.2) / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs))),
+             6) AS bm25
+    FROM d CROSS JOIN stats
+    WHERE round(
+             ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+               * (tf1 * 2.2) / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+             + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+               * (tf2 * 2.2) / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs))),
+             6) > 0
+    """,
+)
