@@ -1,0 +1,110 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], plus a frontier-crawl throughput bench.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "urls_per_sec": ..., "frontier_rounds": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "o1_priority_topk",
+    "o2_round_budget",
+    "j4_broadcast_lookup",
+    "j3_exact_antijoin",
+    "a1_success_fail_counts",
+    "p1_url_normalize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_topk_cosine",
+    "ann_lsh_topk",
+    "text_fingerprint",
+    "c3_bm25_rank",
+]
+
+FRONTIER_SEEDS = 64
+FRONTIER_ROUNDS = 3
+FRONTIER_BUDGET = 400
+
+
+def _force(df) -> int:
+    """Fully execute the plan without driver materialization."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def main() -> None:
+    from deepcrawl4ai_spark.registry import QUERIES
+    from deepcrawl4ai_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 16))
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    per_query: dict[str, float] = {}
+    t_suite = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(QUERIES[name](spark, SF_DIR))
+        per_query[name] = round(time.time() - t0, 3)
+
+    # frontier throughput: urls fetched / sec over a bounded crawl
+    from deepcrawl4ai_spark.frontier import webgraph as WG
+    from deepcrawl4ai_spark.frontier.engine import CrawlEngine, EngineConfig
+
+    store = tempfile.mkdtemp(prefix="benchstore_")
+    try:
+        eng = CrawlEngine(
+            spark,
+            store,
+            EngineConfig(
+                global_budget=FRONTIER_BUDGET,
+                max_rounds=FRONTIER_ROUNDS,
+                max_depth=4,
+                record_order=False,
+            ),
+        )
+        t0 = time.time()
+        metrics = eng.run(WG.gen_seeds(FRONTIER_SEEDS))
+        frontier_sec = time.time() - t0
+        fetched = sum(m["urls_fetched"] for m in metrics)
+        per_query["frontier_crawl"] = round(frontier_sec, 3)
+        urls_per_sec = round(fetched / frontier_sec, 2) if frontier_sec else 0.0
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+    total = round(time.time() - t_suite, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "urls_per_sec": urls_per_sec,
+                "frontier_rounds": FRONTIER_ROUNDS,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

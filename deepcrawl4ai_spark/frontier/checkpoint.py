@@ -1,0 +1,107 @@
+"""Iceberg-style checkpoint store: Parquet data + atomic JSON snapshot
+manifests (SURVEY.md §7 plan B).
+
+Every round commits frontier + seen_filter + results + rounds in ONE atomic
+step: data files are written first, then the snapshot manifest, then the
+`_current.json` pointer is atomically renamed over (reference analog: the
+LRANGE+LTRIM pipeline pop, crawl.py:171-184 — but with all-tables atomicity
+the reference lacks). A crash between data write and pointer flip leaves the
+old snapshot current; the re-run overwrites the same round directories, so
+recovery is idempotent and a killed job resumes WITHOUT re-fetching earlier
+rounds (north_rule T7).
+
+Swappable for real Iceberg on a cluster: the engine only calls
+append/overwrite/read/last_round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+OVERWRITE_TABLES = ("frontier", "seen_filter")  # full state per round
+APPEND_TABLES = ("results", "rounds")  # accumulated across rounds
+
+
+class CheckpointStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------------------
+
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "_current.json")
+
+    def current_snapshot(self) -> dict | None:
+        p = self._current_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def last_round(self) -> int | None:
+        snap = self.current_snapshot()
+        return None if snap is None else snap["round"]
+
+    # -- commit ----------------------------------------------------------------
+
+    def _data_dir(self, table: str, round_id: int) -> str:
+        return os.path.join(self.root, "data", table, f"r{round_id:05d}")
+
+    def commit_round(
+        self,
+        round_id: int,
+        overwrite: dict[str, DataFrame],
+        append: dict[str, DataFrame],
+        metrics: dict,
+    ) -> None:
+        prev = self.current_snapshot() or {"tables": {}}
+        tables: dict[str, list[str]] = {}
+        for name, df in overwrite.items():
+            path = self._data_dir(name, round_id)
+            if os.path.exists(path):  # idempotent re-run after crash
+                shutil.rmtree(path)
+            df.write.mode("overwrite").parquet(path)
+            tables[name] = [path]
+        for name, df in append.items():
+            path = self._data_dir(name, round_id)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            df.write.mode("overwrite").parquet(path)
+            tables[name] = list(prev["tables"].get(name, [])) + [path]
+        snap = {"round": round_id, "tables": tables, "metrics": metrics}
+        snap_path = os.path.join(self.root, "_snapshots", f"r{round_id:05d}.json")
+        tmp = snap_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1)
+        os.replace(tmp, snap_path)
+        # the atomic pointer flip — THE commit
+        tmp2 = self._current_path() + ".tmp"
+        with open(tmp2, "w") as f:
+            json.dump(snap, f, indent=1)
+        os.replace(tmp2, self._current_path())
+
+    # -- read --------------------------------------------------------------------
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        snap = self.current_snapshot()
+        if snap is None or table not in snap["tables"]:
+            return None
+        return spark.read.parquet(*snap["tables"][table])
+
+    def round_metrics(self) -> list[dict]:
+        """All committed round metrics, in round order (lineage view)."""
+        out = []
+        snap_dir = os.path.join(self.root, "_snapshots")
+        for name in sorted(os.listdir(snap_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(snap_dir, name)) as f:
+                    s = json.load(f)
+                cur = self.current_snapshot()
+                if cur is not None and s["round"] <= cur["round"]:
+                    out.append(s["metrics"])
+        return out
