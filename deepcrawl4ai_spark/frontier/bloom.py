@@ -74,6 +74,45 @@ def build_filters(hashes_df: DataFrame, round_id: int) -> DataFrame:
     return with_pid.groupBy("partition_id").applyInPandas(_build, FILTER_SCHEMA)
 
 
+def add_to_filters(filters: DataFrame, hashes_df: DataFrame, round_id: int) -> DataFrame:
+    """ONE cogrouped pass: OR the new url_hashes into the existing filters.
+    Replaces build_filters + merge_filters in the round hot path (one Python
+    stage instead of two)."""
+    hashed = hashes_df.select(
+        "url_hash", partition_id_col(F.col("url_hash")).alias("partition_id")
+    )
+
+    def _absorb(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = existing filter rows (≤1 per partition), right = new hashes
+        if left.empty:
+            bits = np.zeros(M_BITS // 8, dtype=np.uint8)
+            n = 0
+            pid = int(right["partition_id"].iloc[0])
+        else:
+            bits = np.frombuffer(left["bits"].iloc[0], dtype=np.uint8).copy()
+            n = int(left["n_items"].iloc[0])
+            pid = int(left["partition_id"].iloc[0])
+        if not right.empty:
+            pos = _bit_positions(right["url_hash"]).ravel()
+            np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+            n += len(right)
+        return pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "filter_kind": ["bloom"],
+                "bits": [bits.tobytes()],
+                "n_items": [n],
+                "round": [round_id],
+            }
+        )
+
+    return (
+        filters.groupBy("partition_id")
+        .cogroup(hashed.groupBy("partition_id"))
+        .applyInPandas(_absorb, FILTER_SCHEMA)
+    )
+
+
 def merge_filters(existing: DataFrame, new: DataFrame, round_id: int) -> DataFrame:
     """OR-merge two filter tables (associative, idempotent)."""
     both = existing.unionByName(new)

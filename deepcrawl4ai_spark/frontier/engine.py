@@ -19,6 +19,16 @@ Per round (all DataFrame ops, one driver-side loop):
 Canonical total order (SURVEY.md §4.5): (-score, depth, url_hash) — shared
 with the pure-Python simulator, which is the golden oracle for crawl-order /
 seen-set / span equality.
+
+Efficiency notes (the 100 TB view):
+- ALL round metrics + the crawl-order record come from ONE collect of the
+  fetched rows (≤ global_budget rows — tiny); no extra jobs.
+- The frontier/seen-filter carry between rounds is an in-memory
+  localCheckpoint (truncates lineage); the parquet snapshot is durability,
+  not the hot path.
+- On a real cluster the frontier table is hash-partitioned by url_hash
+  bucket; the per-round rewrite becomes an Iceberg MERGE on the touched
+  partitions only.
 """
 
 from __future__ import annotations
@@ -52,8 +62,8 @@ class EngineConfig:
     max_depth: int = 4
     max_attempts: int = 2
     salt_buckets: int = 4
+    budget_scale: int = 1  # multiplies per-host robots budgets (bench knob)
     record_order: bool = True
-    shuffle_partitions: int | None = None
 
 
 def _score_sql(url_hash_col):
@@ -75,7 +85,7 @@ class CrawlEngine:
         robots = WG.robots_rows()
         self.robots_df = spark.createDataFrame(
             [
-                (r["host"], r["max_tokens"], r["disallow_rules"])
+                (r["host"], r["max_tokens"] * self.cfg.budget_scale, r["disallow_rules"])
                 for r in robots
             ],
             "host string, max_tokens int, disallow_rules array<string>",
@@ -109,15 +119,30 @@ class CrawlEngine:
         )
         filters = bloom.build_filters(frontier.select("url_hash"), -1)
         results = self.spark.createDataFrame([], self._results_schema())
-        rounds = self.spark.createDataFrame(
-            [], "round int, urls_popped long, urls_fetched long, urls_failed long,"
-            " outlinks_seen long, dedup_dropped long, new_frontier long, state string"
-        )
+        rounds = self.spark.createDataFrame([], self._rounds_schema())
         self.store.commit_round(
             -1,
             overwrite={"frontier": frontier, "seen_filter": filters},
             append={"results": results, "rounds": rounds},
             metrics={"round": -1, "seeded": len(rows)},
+        )
+
+    def submit_frontier(self, frontier: DataFrame) -> None:
+        """Distributed seed ingest: accept a prepared frontier DataFrame
+        (FRONTIER_COLS) — the 10^10-scale path, where seeds are built with
+        DataFrame ops (spark.range → url synth → sha1), never a driver loop.
+        Idempotent like submit_seeds."""
+        if self.store.last_round() is not None:
+            return
+        frontier = frontier.select(*FRONTIER_COLS)
+        filters = bloom.build_filters(frontier.select("url_hash"), -1)
+        results = self.spark.createDataFrame([], self._results_schema())
+        rounds = self.spark.createDataFrame([], self._rounds_schema())
+        self.store.commit_round(
+            -1,
+            overwrite={"frontier": frontier, "seen_filter": filters},
+            append={"results": results, "rounds": rounds},
+            metrics={"round": -1, "seeded": -1},
         )
 
     @staticmethod
@@ -129,88 +154,101 @@ class CrawlEngine:
             " links array<string>, error string"
         )
 
+    @staticmethod
+    def _rounds_schema() -> str:
+        return (
+            "round int, urls_popped long, urls_fetched long, urls_failed long,"
+            " outlinks_seen long, dedup_dropped long, new_frontier long, state string"
+        )
+
     # -- one round -----------------------------------------------------------------
 
-    def run_round(self, r: int) -> dict:
+    def run_round(
+        self, r: int, frontier: DataFrame, filters: DataFrame
+    ) -> tuple[dict, DataFrame | None, DataFrame | None]:
         cfg = self.cfg
-        spark = self.spark
-        frontier = self.store.read(spark, "frontier")
-        filters = self.store.read(spark, "seen_filter")
 
         cand = frontier.filter((F.col("state") == "queued") & (F.col("due_round") <= r))
 
         # politeness budget join (broadcast — robots is a small dim table)
-        cand = cand.join(F.broadcast(self.robots_df.select("host", "max_tokens")), "host", "left")
-        cand = cand.withColumn("budget", F.coalesce(F.col("max_tokens"), F.lit(2)))
+        cand = cand.join(
+            F.broadcast(self.robots_df.select("host", "max_tokens")), "host", "left"
+        ).withColumn("budget", F.coalesce(F.col("max_tokens"), F.lit(2)))
 
         # two-level exact top-k: (host, salt) window bounds per-window state on
-        # hot hosts; host window then enforces the true budget
-        salt = F.pmod(F.conv(F.substring("url_hash", 5, 4), 16, 10).cast("int"), F.lit(cfg.salt_buckets))
+        # hot hosts; the host window then enforces the true budget
+        salt = F.pmod(
+            F.conv(F.substring("url_hash", 5, 4), 16, 10).cast("int"),
+            F.lit(cfg.salt_buckets),
+        )
         w1 = W.partitionBy("host", "salt").orderBy(*_order_cols())
         w2 = W.partitionBy("host").orderBy(*_order_cols())
-        lvl1 = (
+        selected = (
             cand.withColumn("salt", salt)
             .withColumn("rk1", F.row_number().over(w1))
             .filter(F.col("rk1") <= F.col("budget"))
-        )
-        lvl2 = (
-            lvl1.withColumn("rk2", F.row_number().over(w2))
+            .withColumn("rk2", F.row_number().over(w2))
             .filter(F.col("rk2") <= F.col("budget"))
-        )
-        selected = (
-            lvl2.select(*FRONTIER_COLS)
+            .select(*FRONTIER_COLS)
             .orderBy(*_order_cols())
             .limit(cfg.global_budget)
         )
 
         fetched = run_fetch(selected).persist()
-        status_counts = dict(
-            (row["fetch_status"], row["count"])
-            for row in fetched.groupBy("fetch_status").count().collect()
-        )
-        popped = sum(status_counts.values())
-        if popped == 0:
+
+        # ONE small collect (≤ global_budget rows) drives every metric,
+        # the crawl-order record, and per-partition lineage
+        meta = fetched.select(
+            "url_hash", "score", "depth", "fetch_status", F.size("links").alias("n_links"), "fetch_pid"
+        ).collect()
+        if not meta:
             fetched.unpersist()
-            return {"round": r, "urls_popped": 0, "empty": True}
+            return {"round": r, "urls_popped": 0, "empty": True}, None, None
+
+        popped = len(meta)
+        n_success = sum(1 for m in meta if m["fetch_status"] == "success")
+        outlinks_seen = sum(m["n_links"] for m in meta if m["fetch_status"] == "success")
+        per_partition: dict[int, int] = {}
+        for m in meta:
+            per_partition[m["fetch_pid"]] = per_partition.get(m["fetch_pid"], 0) + 1
 
         succ = fetched.filter(F.col("fetch_status") == "success")
 
         # outlink pipeline: explode → robots/social filter → batch dedup →
         # bloom prefilter → exact anti-join rescue
-        outlinks_seen = (succ.agg(F.sum(F.size("links"))).collect()[0][0]) or 0
+        links = succ.filter(F.col("depth") < cfg.max_depth).select(
+            (F.col("depth") + 1).alias("depth"), F.explode("links").alias("url_norm")
+        )
         links = (
-            succ.filter(F.col("depth") < cfg.max_depth)
-            .select((F.col("depth") + 1).alias("depth"), F.explode("links").alias("url_norm"))
-        )
-        links = links.withColumn(
-            "host", F.regexp_extract("url_norm", r"^[a-z]+://([^/]+)", 1)
-        ).withColumn("path", F.regexp_extract("url_norm", r"^[a-z]+://[^/]+(/.*)?$", 1))
-        links = links.filter(~F.col("host").isin(*WG.SOCIAL_HOSTS))
-        links = links.join(
-            F.broadcast(self.robots_df.select("host", "disallow_rules")), "host", "left"
-        )
-        allowed = links.filter(
-            ~F.coalesce(
-                F.exists("disallow_rules", lambda rule: F.col("path").startswith(rule)),
-                F.lit(False),
+            links.withColumn("host", F.regexp_extract("url_norm", r"^[a-z]+://([^/]+)", 1))
+            .withColumn("path", F.regexp_extract("url_norm", r"^[a-z]+://[^/]+(/.*)?$", 1))
+            .filter(~F.col("host").isin(*WG.SOCIAL_HOSTS))
+            .join(F.broadcast(self.robots_df.select("host", "disallow_rules")), "host", "left")
+            .filter(
+                ~F.coalesce(
+                    F.exists("disallow_rules", lambda rule: F.col("path").startswith(rule)),
+                    F.lit(False),
+                )
             )
         )
-        # sha1 of already-normalized link (vectorized UDF)
-        from deepcrawl4ai_spark.functions.urlnorm import url_hash_udf
-
-        hashed = allowed.withColumn("url_hash", url_hash_udf(F.col("url_norm")))
-        batch = hashed.groupBy("url_hash").agg(
-            F.min("depth").alias("depth"),
-            F.first("url_norm").alias("url_norm"),
-            F.first("host").alias("host"),
+        # sha1 stays JVM-side (links are already canonical — no re-normalize)
+        batch = (
+            links.withColumn("url_hash", F.sha1(F.encode("url_norm", "UTF-8")))
+            .groupBy("url_hash")
+            .agg(
+                F.min("depth").alias("depth"),
+                F.first("url_norm").alias("url_norm"),
+                F.first("host").alias("host"),
+            )
         )
         flagged = bloom.maybe_seen(batch, filters)
-        definitely_new = flagged.filter(~F.col("maybe_seen"))
-        rescue = flagged.filter(F.col("maybe_seen")).join(
-            frontier.select("url_hash"), "url_hash", "left_anti"
-        )
         new_rows = (
-            definitely_new.unionByName(rescue)
+            flagged.filter(~F.col("maybe_seen"))
+            .unionByName(
+                flagged.filter(F.col("maybe_seen")).join(
+                    frontier.select("url_hash"), "url_hash", "left_anti"
+                )
+            )
             .select(
                 "url_norm",
                 "url_hash",
@@ -240,8 +278,7 @@ class CrawlEngine:
                 "state",
                 F.when(F.col("_st") == "success", F.lit("fetched"))
                 .when(
-                    (F.col("_st") == "failed")
-                    & (F.col("attempt") >= cfg.max_attempts),
+                    (F.col("_st") == "failed") & (F.col("attempt") >= cfg.max_attempts),
                     F.lit("failed"),
                 )
                 .otherwise(F.col("state")),
@@ -255,12 +292,15 @@ class CrawlEngine:
             )
             .select(*FRONTIER_COLS)
         )
-        new_frontier = updated.unionByName(new_rows.select(*FRONTIER_COLS))
-
-        # seen filter merge (OR — associative/idempotent)
-        new_filters = bloom.merge_filters(
-            filters, bloom.build_filters(new_rows.select("url_hash"), r), r
+        # bound write fan-out: the union would otherwise carry every upstream
+        # shuffle's partitioning into the snapshot (tiny files, task overhead)
+        n_write = max(self.spark.sparkContext.defaultParallelism // 2, 4)
+        new_frontier = updated.unionByName(new_rows.select(*FRONTIER_COLS)).coalesce(
+            n_write
         )
+
+        # seen filter merge: single cogrouped OR pass (associative/idempotent)
+        new_filters = bloom.add_to_filters(filters, new_rows.select("url_hash"), r)
 
         results = succ.select(
             F.col("url_hash").alias("doc_id"),
@@ -278,24 +318,20 @@ class CrawlEngine:
         metrics = {
             "round": r,
             "urls_popped": popped,
-            "urls_fetched": int(status_counts.get("success", 0)),
-            "urls_failed": int(status_counts.get("failed", 0)),
+            "urls_fetched": n_success,
+            "urls_failed": popped - n_success,
             "outlinks_seen": int(outlinks_seen),
             "dedup_dropped": int(outlinks_seen) - int(new_count),
             "new_frontier": int(new_count),
+            "per_partition": [
+                {"pid": pid, "rows": n} for pid, n in sorted(per_partition.items())
+            ],
         }
         if cfg.record_order:
             metrics["crawl_order"] = [
-                row["url_hash"]
-                for row in selected.orderBy(*_order_cols()).select("url_hash").collect()
+                m["url_hash"]
+                for m in sorted(meta, key=lambda m: (-m["score"], m["depth"], m["url_hash"]))
             ]
-        # per-partition lineage (north_rule): rows per fetch partition
-        metrics["per_partition"] = [
-            {"pid": int(row["pid"]), "rows": int(row["rows"])}
-            for row in fetched.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        ]
 
         rounds_row = self.spark.createDataFrame(
             [
@@ -310,8 +346,7 @@ class CrawlEngine:
                     "committed",
                 )
             ],
-            "round int, urls_popped long, urls_fetched long, urls_failed long,"
-            " outlinks_seen long, dedup_dropped long, new_frontier long, state string",
+            self._rounds_schema(),
         )
         self.store.commit_round(
             r,
@@ -319,20 +354,33 @@ class CrawlEngine:
             append={"results": results, "rounds": rounds_row},
             metrics=metrics,
         )
+        # carry the just-written snapshot (lazy read-back: truncates lineage
+        # without recomputing the plan a second time)
+        carried_frontier = self.store.read(self.spark, "frontier")
+        carried_filters = self.store.read(self.spark, "seen_filter")
         fetched.unpersist()
         new_rows.unpersist()
-        return metrics
+        return metrics, carried_frontier, carried_filters
 
     # -- full run ---------------------------------------------------------------------
 
     def run(self, seed_urls: list[str] | None = None) -> list[dict]:
         if seed_urls is not None:
             self.submit_seeds(seed_urls)
-        start = (self.store.last_round() if self.store.last_round() is not None else -1) + 1
+        last = self.store.last_round()
+        if last is None:
+            raise ValueError("no checkpoint and no seeds — call with seed_urls")
+        frontier = self.store.read(self.spark, "frontier")
+        filters = self.store.read(self.spark, "seen_filter")
         out = []
-        for r in range(start, self.cfg.max_rounds):
-            m = self.run_round(r)
+        import time as _time
+
+        for r in range(last + 1, self.cfg.max_rounds):
+            t0 = _time.time()
+            m, nf, nflt = self.run_round(r, frontier, filters)
             if m.get("empty"):
                 break
+            m["_sec"] = round(_time.time() - t0, 2)
+            frontier, filters = nf, nflt
             out.append(m)
         return out

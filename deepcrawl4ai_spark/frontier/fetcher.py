@@ -34,6 +34,7 @@ FETCH_SCHEMA = T.StructType(
         T.StructField("fetch_status", T.StringType(), False),
         T.StructField("spans", T.ArrayType(SPAN), True),
         T.StructField("links", T.ArrayType(T.StringType()), True),
+        T.StructField("fetch_pid", T.IntegerType(), False),
     ]
 )
 
@@ -44,6 +45,10 @@ _SESSION_POOL: dict[str, int] = {}
 
 
 def fetch_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
     _SESSION_POOL["default"] = _SESSION_POOL.get("default", 0) + 1
     for pdf in batches:
         spans_col, links_col, status_col = [], [], []
@@ -68,6 +73,7 @@ def fetch_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "fetch_status": status_col,
                 "spans": spans_col,
                 "links": links_col,
+                "fetch_pid": pid,
             }
         )
 

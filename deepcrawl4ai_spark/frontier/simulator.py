@@ -35,6 +35,7 @@ class SimConfig:
     max_rounds: int = 10
     max_depth: int = 4
     max_attempts: int = 2
+    budget_scale: int = 1
 
 
 @dataclass
@@ -93,7 +94,7 @@ def simulate(seed_urls: list[str], cfg: SimConfig | None = None) -> SimResult:
         picked: list[SimEntry] = []
         for host, entries in by_host.items():
             entries.sort(key=lambda e: (-e.score, e.depth, e.url_hash))
-            budget = robots.get(host, {"max_tokens": 2})["max_tokens"]
+            budget = robots.get(host, {"max_tokens": 2})["max_tokens"] * cfg.budget_scale
             picked.extend(entries[:budget])
         # global budget — canonical total order
         picked.sort(key=lambda e: (-e.score, e.depth, e.url_hash))

@@ -21,9 +21,15 @@ from functools import lru_cache
 from deepcrawl4ai_spark.functions.urlnorm import normalize_url, sha1_hex
 
 # --- universe ---------------------------------------------------------------
+# Sized via env so the scaling bench can run a ~10^6-URL universe; read at
+# import time so Spark python workers (which inherit the driver's env in
+# local mode / via spark-submit --conf spark.executorEnv.*) agree with the
+# driver. Set BEFORE SparkSession creation.
 
-N_HOSTS = 40
-PAGE_SCALE = 2000  # pages on the hottest host; host i has ~PAGE_SCALE/(i+1)
+import os as _os
+
+N_HOSTS = int(_os.environ.get("CRAWL_N_HOSTS", "40"))
+PAGE_SCALE = int(_os.environ.get("CRAWL_PAGE_SCALE", "2000"))  # hottest host; host i has ~PAGE_SCALE/(i+1)
 
 WORD_POOL = (
     "the quick crawl spider frontier fetch parse index rank link page host "
@@ -36,7 +42,7 @@ SOCIAL_HOSTS = frozenset({"social00.example.com", "social01.example.com"})
 
 @lru_cache(maxsize=1)
 def hosts() -> list[str]:
-    return [f"h{i:02d}.example.com" for i in range(N_HOSTS)]
+    return [f"h{i:03d}.example.com" for i in range(N_HOSTS)]
 
 
 @lru_cache(maxsize=1)
@@ -118,7 +124,8 @@ def fetch_page(url_norm: str) -> Page:
 
     # outlinks: mostly same-host; 20% cross-host weighted by host size
     host = url_norm.split("://", 1)[1].split("/", 1)[0]
-    host_idx = int(host[1:3]) if host.startswith("h") and host[1:3].isdigit() else 0
+    _label = host.split(".", 1)[0]
+    host_idx = int(_label[1:]) if _label[1:].isdigit() else 0
     n_out = hd[10] % 7
     links: list[str] = []
     for l in range(n_out):

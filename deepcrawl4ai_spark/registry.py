@@ -616,3 +616,124 @@ _q(
              6) > 0
     """,
 )
+
+# --- Span-document ops + TPC-H classics ---------------------------------------
+
+from deepcrawl4ai_spark.operators import spans as SP  # noqa: E402
+
+# shared spans-construction CTE for the oracles: 4-word groups; image iff
+# first md5 hex char of '<doc_id>:<g>' in 0-3
+_SPAN_CTE = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             CAST(floor(len(string_split(text, ' ')) / 4) AS INT) AS n_groups
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, words,
+             unnest(CASE WHEN n_groups > 0
+                    THEN generate_series(0, n_groups - 1) ELSE [] END) AS g
+      FROM w
+    ),
+    sp AS (
+      SELECT doc_id, g AS "offset",
+             substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)), 1, 1)
+               IN ('0','1','2','3') AS is_image,
+             array_to_string(words[g*4+1 : g*4+4], ' ') AS span_text
+      FROM g
+    )
+"""
+
+_q(
+    "c6_media_extraction",
+    SP.c6_media_extraction,
+    _SPAN_CTE
+    + """
+    SELECT doc_id, "offset",
+           'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST("offset" AS VARCHAR)
+             AS media_ref
+    FROM sp WHERE is_image
+    """,
+)
+
+_q(
+    "c2_span_pruning",
+    SP.c2_span_pruning,
+    _SPAN_CTE
+    + """
+    SELECT doc_id, "offset", span_text
+    FROM sp WHERE NOT is_image AND len(span_text) >= 20
+    """,
+)
+
+_q(
+    "c1_interleave_stats",
+    SP.c1_interleave_stats,
+    _SPAN_CTE
+    + """
+    SELECT w.doc_id,
+           coalesce(s.n_spans, 0) AS n_spans,
+           coalesce(s.n_text, 0) AS n_text,
+           coalesce(s.n_media, 0) AS n_media,
+           coalesce(s.first_media_offset, CASE WHEN w.n_groups > 0 THEN -1 END, -1)
+             AS first_media_offset
+    FROM w LEFT JOIN (
+      SELECT doc_id,
+             count(*) AS n_spans,
+             count(*) FILTER (WHERE NOT is_image) AS n_text,
+             count(*) FILTER (WHERE is_image) AS n_media,
+             coalesce(min("offset") FILTER (WHERE is_image), -1) AS first_media_offset
+      FROM sp GROUP BY doc_id
+    ) s USING (doc_id)
+    """,
+)
+
+_q(
+    "tpch_q1",
+    SP.tpch_q1,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+_q(
+    "tpch_q3",
+    SP.tpch_q3,
+    """
+    SELECT l_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+
+_q(
+    "tpch_q5ish",
+    SP.tpch_q5ish,
+    """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)

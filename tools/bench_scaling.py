@@ -1,0 +1,144 @@
+"""Scaling-efficiency bench: the SAME frontier-crawl job at two parallelism
+levels (local[N] and local[4N]) on the same input — the sandbox stand-in for
+the north_rule's N vs 4N executor criterion (BASELINE.md protocol).
+
+Runs one level per invocation (fresh JVM each time, fair cold-ish start):
+
+    CRAWL_N_HOSTS=200 CRAWL_PAGE_SCALE=5000 \
+      python tools/bench_scaling.py --cores 8 --frontier 1000000 \
+        --rounds 3 --budget 150000 --budget-scale 400 --out /tmp/scale8.json
+
+The frontier is seeded distributed (spark.range → URL synth → JVM sha1):
+no driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def build_frontier(spark, n_urls: int):
+    """Uniformly sample the universe into a queued frontier — pure SQL."""
+    from pyspark.sql import functions as F
+
+    from deepcrawl4ai_spark.frontier import webgraph as WG
+    from deepcrawl4ai_spark.frontier.engine import _score_sql
+
+    cum = []
+    acc = 0
+    for p in WG.host_pages():
+        acc += p
+        cum.append(acc)
+    total = acc
+    hosts = WG.hosts()
+    # host lookup via a broadcast range table: (host_idx, lo, hi, host, pages)
+    rows = []
+    lo = 0
+    for i, hi in enumerate(cum):
+        rows.append((i, lo, hi, hosts[i], WG.host_pages()[i]))
+        lo = hi
+    ranges = spark.createDataFrame(
+        rows, "host_idx int, lo long, hi long, host string, pages int"
+    )
+    ids = spark.range(0, n_urls).select(
+        ((F.col("id") * 2654435761) % total).alias("g")
+    )
+    joined = ids.join(
+        F.broadcast(ranges), (F.col("g") >= F.col("lo")) & (F.col("g") < F.col("hi"))
+    )
+    urls = joined.select(
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/p/"), (F.col("g") - F.col("lo"))
+        ).alias("url_norm"),
+        F.col("host"),
+    ).dropDuplicates(["url_norm"])
+    return urls.select(
+        "url_norm",
+        F.sha1(F.encode("url_norm", "UTF-8")).alias("url_hash"),
+        "host",
+        F.lit(0).alias("depth"),
+        F.lit(0.0).alias("score"),
+        F.lit(0).alias("due_round"),
+        F.lit("queued").alias("state"),
+        F.lit(0).alias("round_added"),
+        F.lit(0).alias("attempt"),
+    ).withColumn("score", _score_sql(F.col("url_hash")))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--frontier", type=int, default=1_000_000)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--budget", type=int, default=150_000)
+    ap.add_argument("--budget-scale", type=int, default=400)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    from deepcrawl4ai_spark.frontier.engine import CrawlEngine, EngineConfig
+    from deepcrawl4ai_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling_bench_{args.cores}",
+        cores=args.cores,
+        shuffle_partitions=max(args.cores * 2, 16),
+    )
+    store = tempfile.mkdtemp(prefix=f"scalestore{args.cores}_")
+    try:
+        eng = CrawlEngine(
+            spark,
+            store,
+            EngineConfig(
+                global_budget=args.budget,
+                max_rounds=args.rounds,
+                max_depth=6,
+                budget_scale=args.budget_scale,
+                record_order=False,
+            ),
+        )
+        t_seed = time.time()
+        eng.submit_frontier(build_frontier(spark, args.frontier))
+        seed_sec = time.time() - t_seed
+
+        t0 = time.time()
+        metrics = eng.run()
+        wall = time.time() - t0
+        fetched = sum(m["urls_fetched"] for m in metrics)
+        popped = sum(m["urls_popped"] for m in metrics)
+        round_secs = [m.get("_sec") for m in metrics]
+        out = {
+            "cores": args.cores,
+            "frontier_urls": args.frontier,
+            "rounds": len(metrics),
+            "urls_popped": popped,
+            "urls_fetched": fetched,
+            "wall_sec": round(wall, 2),
+            "seed_sec": round(seed_sec, 2),
+            "urls_per_sec": round(fetched / wall, 1),
+            "round_secs": round_secs,
+            "per_round": [
+                {k: m[k] for k in ("round", "urls_popped", "urls_fetched", "new_frontier")}
+                for m in metrics
+            ],
+        }
+        print(json.dumps(out))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=1)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
