@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-N_PARTITIONS = 16
-M_BITS = 1 << 17  # bits per partition (2^17 = 16 KiB each)
+N_PARTITIONS = 128  # also the bloom stage's max parallelism
+M_BITS = 1 << 17  # bits per partition (16 KiB each; 2 MiB total state)
 K_HASHES = 4
 
 FILTER_SCHEMA = T.StructType(

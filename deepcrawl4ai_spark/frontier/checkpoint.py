@@ -87,11 +87,62 @@ class CheckpointStore:
 
     # -- read --------------------------------------------------------------------
 
+    ROUNDS_SCHEMA = (
+        "round int, urls_popped long, urls_fetched long, urls_failed long,"
+        " outlinks_seen long, dedup_dropped long, new_frontier long, state string"
+    )
+
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
         snap = self.current_snapshot()
-        if snap is None or table not in snap["tables"]:
+        if snap is None:
+            return None
+        if table == "rounds" and table not in snap["tables"]:
+            # lineage table materialized from the snapshot manifests — no
+            # per-round parquet write needed (the manifest IS the commit)
+            rows = [
+                (
+                    m["round"],
+                    m.get("urls_popped", 0),
+                    m.get("urls_fetched", 0),
+                    m.get("urls_failed", 0),
+                    m.get("outlinks_seen", 0),
+                    m.get("dedup_dropped", 0),
+                    m.get("new_frontier", 0),
+                    m.get("state", "committed"),
+                )
+                for m in self.round_metrics()
+                if m.get("round", -1) >= 0
+            ]
+            return spark.createDataFrame(rows, self.ROUNDS_SCHEMA)
+        if table not in snap["tables"]:
             return None
         return spark.read.parquet(*snap["tables"][table])
+
+    def expire_snapshots(self, keep_last: int = 3) -> list[int]:
+        """TTL cleanup (reference should_cleanup_task, utils.py:156-159;
+        Iceberg expire_snapshots analog): drop old snapshot manifests and the
+        overwrite-table data they exclusively reference. Append-table data
+        (results/rounds) is retained — it's part of the current snapshot."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return []
+        keep_from = cur["round"] - keep_last + 1
+        removed: list[int] = []
+        snap_dir = os.path.join(self.root, "_snapshots")
+        for name in sorted(os.listdir(snap_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(snap_dir, name)) as f:
+                s = json.load(f)
+            if s["round"] >= keep_from:
+                continue
+            for table in OVERWRITE_TABLES:
+                for path in s["tables"].get(table, []):
+                    if path not in cur["tables"].get(table, []):
+                        shutil.rmtree(path, ignore_errors=True)
+            os.remove(os.path.join(snap_dir, name))
+            removed.append(s["round"])
+        return removed
 
     def round_metrics(self) -> list[dict]:
         """All committed round metrics, in round order (lineage view)."""

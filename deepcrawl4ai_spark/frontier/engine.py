@@ -2,30 +2,35 @@
 re-expressed as Spark rounds over checkpointed tables.
 
 Per round (all DataFrame ops, one driver-side loop):
-  selection   S4/O1/O2: due-filter → per-(host, salt) top-k → per-host top-k
-              → global TakeOrdered budget.  Salting bounds the window state
-              for hot hosts (north_rule skew handling) WITHOUT changing the
-              selected set: two-level top-k is exact.
+  selection   S4/O1/O2: due-filter → per-host top-budget in ONE window pass
+              (the literal rank bound triggers Catalyst's WindowGroupLimit:
+              map-side partial top-k per host BEFORE the shuffle — the
+              north_rule's hot-host skew handling; a mega-host's queued
+              millions never travel) → exact distributed global top-budget
+              (range partition + boundary rank; no TakeOrdered driver merge).
   politeness  R3/R5: per-host budget = robots.max_tokens per round — budget
               arithmetic on round numbers, no wall clock, so replays/resume
               are exact.
-  fetch       F1/F2: mapInPandas batches (deterministic synthetic web here;
-              async client pool on a real cluster).
+  fetch       F1/F2: mapInPandas batches, rebalanced with an explicit
+              round-robin repartition so the expensive stage uses every core
+              (deterministic synthetic web here; async client pool on a real
+              cluster).
   dedup       J3: bloom prefilter (partitioned, applyInPandas) → exact
               left-anti rescue ONLY for maybe-seen rows.
-  commit      X3/T7: frontier + seen_filter + results + rounds in one atomic
-              snapshot; kill + restart resumes without re-fetching.
+  commit      X3/T7: frontier + seen_filter + results in one atomic snapshot
+              (round metrics/lineage live in the manifest itself); kill +
+              restart resumes without re-fetching.
 
 Canonical total order (SURVEY.md §4.5): (-score, depth, url_hash) — shared
 with the pure-Python simulator, which is the golden oracle for crawl-order /
 seen-set / span equality.
 
 Efficiency notes (the 100 TB view):
-- ALL round metrics + the crawl-order record come from ONE collect of the
-  fetched rows (≤ global_budget rows — tiny); no extra jobs.
-- The frontier/seen-filter carry between rounds is an in-memory
-  localCheckpoint (truncates lineage); the parquet snapshot is durability,
-  not the hot path.
+- Round metrics come from one ≤budget-row collect (test scale, also records
+  crawl order) or two tiny aggregates (bench scale) — never 10^5 rows to the
+  driver.
+- The frontier/seen-filter carry between rounds is the just-written snapshot
+  read back lazily (truncates lineage without recomputing the plan).
 - On a real cluster the frontier table is hash-partitioned by url_hash
   bucket; the per-round rewrite becomes an Iceberg MERGE on the touched
   partitions only.
@@ -61,9 +66,14 @@ class EngineConfig:
     max_rounds: int = 10
     max_depth: int = 4
     max_attempts: int = 2
-    salt_buckets: int = 4
     budget_scale: int = 1  # multiplies per-host robots budgets (bench knob)
     record_order: bool = True
+    # R1/X1 dynamic rate limit (reference monitor.py:200-238): next round's
+    # global budget = max(floor, base * (1 - last_round_error_rate)).
+    # Deterministic (metrics-derived); the production controller also folds
+    # in cpu/mem gauges, which are non-replayable and stay out of tests.
+    adaptive_budget: bool = False
+    min_budget: int = 10
 
 
 def _score_sql(url_hash_col):
@@ -77,16 +87,73 @@ def _order_cols():
     return [F.col("score").desc(), F.col("depth").asc(), F.col("url_hash").asc()]
 
 
+def distributed_limit(
+    df: DataFrame, n: int, spark: SparkSession, holds: list | None = None
+) -> DataFrame:
+    """Exact global top-n in canonical order WITHOUT TakeOrdered's
+    driver-side merge (which materializes n rows × partitions on the driver —
+    the serial bottleneck at 10^5+ budgets).
+
+    Range-partition on the sort key, count per partition (tiny collect),
+    keep whole partitions below the cutoff and row_number-filter only the
+    boundary partition. Exact regardless of sampled boundaries because the
+    sort key is a total order (url_hash unique)."""
+    if n <= 20_000:
+        return df.orderBy(*_order_cols()).limit(n)
+    parts = max(spark.sparkContext.defaultParallelism * 2, 16)
+    # persist the input: repartitionByRange's sampling pass would otherwise
+    # recompute the (expensive) upstream plan a second time
+    df = df.persist()
+    if holds is not None:
+        holds.append(df)
+    ranged = df.repartitionByRange(parts, *_order_cols()).withColumn(
+        "_pid", F.spark_partition_id()
+    ).persist()
+    if holds is not None:
+        holds.append(ranged)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    acc = 0
+    keep_whole: list[int] = []
+    boundary: int | None = None
+    boundary_take = 0
+    for pid in sorted(counts):
+        if acc + counts[pid] <= n:
+            keep_whole.append(pid)
+            acc += counts[pid]
+        else:
+            boundary = pid
+            boundary_take = n - acc
+            break
+    out = ranged.filter(F.col("_pid").isin(keep_whole)) if keep_whole else None
+    if boundary is not None and boundary_take > 0:
+        w = W.partitionBy("_pid").orderBy(*_order_cols())
+        edge = (
+            ranged.filter(F.col("_pid") == boundary)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= boundary_take)
+            .drop("_rk")
+        )
+        out = edge if out is None else out.unionByName(edge)
+    if out is None:
+        out = ranged.limit(0)
+    return out.drop("_pid")
+
+
 class CrawlEngine:
     def __init__(self, spark: SparkSession, store_root: str, cfg: EngineConfig | None = None):
         self.spark = spark
         self.cfg = cfg or EngineConfig()
         self.store = CheckpointStore(store_root)
         robots = WG.robots_rows()
+        scaled = [r["max_tokens"] * self.cfg.budget_scale for r in robots]
+        self._max_budget = max(scaled, default=2)
         self.robots_df = spark.createDataFrame(
             [
-                (r["host"], r["max_tokens"] * self.cfg.budget_scale, r["disallow_rules"])
-                for r in robots
+                (r["host"], t, r["disallow_rules"])
+                for r, t in zip(robots, scaled)
             ],
             "host string, max_tokens int, disallow_rules array<string>",
         )
@@ -119,11 +186,10 @@ class CrawlEngine:
         )
         filters = bloom.build_filters(frontier.select("url_hash"), -1)
         results = self.spark.createDataFrame([], self._results_schema())
-        rounds = self.spark.createDataFrame([], self._rounds_schema())
         self.store.commit_round(
             -1,
             overwrite={"frontier": frontier, "seen_filter": filters},
-            append={"results": results, "rounds": rounds},
+            append={"results": results},
             metrics={"round": -1, "seeded": len(rows)},
         )
 
@@ -137,11 +203,10 @@ class CrawlEngine:
         frontier = frontier.select(*FRONTIER_COLS)
         filters = bloom.build_filters(frontier.select("url_hash"), -1)
         results = self.spark.createDataFrame([], self._results_schema())
-        rounds = self.spark.createDataFrame([], self._rounds_schema())
         self.store.commit_round(
             -1,
             overwrite={"frontier": frontier, "seen_filter": filters},
-            append={"results": results, "rounds": rounds},
+            append={"results": results},
             metrics={"round": -1, "seeded": -1},
         )
 
@@ -164,9 +229,29 @@ class CrawlEngine:
     # -- one round -----------------------------------------------------------------
 
     def run_round(
-        self, r: int, frontier: DataFrame, filters: DataFrame
+        self,
+        r: int,
+        frontier: DataFrame,
+        filters: DataFrame,
+        budget: int | None = None,
     ) -> tuple[dict, DataFrame | None, DataFrame | None]:
         cfg = self.cfg
+        round_budget = budget if budget is not None else cfg.global_budget
+        self.spark.sparkContext.setJobGroup(
+            f"crawl_round_{r}", f"frontier round {r}", interruptOnCancel=True
+        )
+        import os as _os
+        import time as _time
+
+        _profile = _os.environ.get("CRAWL_PROFILE") == "1"
+        _phases: dict[str, float] = {}
+        _t = _time.time()
+
+        def _mark(name: str) -> None:
+            nonlocal _t
+            if _profile:
+                _phases[name] = round(_time.time() - _t, 2)
+                _t = _time.time()
 
         cand = frontier.filter((F.col("state") == "queued") & (F.col("due_round") <= r))
 
@@ -175,42 +260,83 @@ class CrawlEngine:
             F.broadcast(self.robots_df.select("host", "max_tokens")), "host", "left"
         ).withColumn("budget", F.coalesce(F.col("max_tokens"), F.lit(2)))
 
-        # two-level exact top-k: (host, salt) window bounds per-window state on
-        # hot hosts; the host window then enforces the true budget
-        salt = F.pmod(
-            F.conv(F.substring("url_hash", 5, 4), 16, 10).cast("int"),
-            F.lit(cfg.salt_buckets),
-        )
-        w1 = W.partitionBy("host", "salt").orderBy(*_order_cols())
+        # per-host exact top-budget in ONE window pass. The literal rank bound
+        # makes Catalyst insert WindowGroupLimit: each map task keeps only its
+        # local top-maxb per host BEFORE the shuffle — that is the hot-host
+        # skew mitigation (a mega-host's million queued rows never travel;
+        # at most maxb × input-partitions do). The exact per-host budget
+        # (a column from robots) is then applied on the ranked rows.
+        max_budget = max(self._max_budget, 2)
         w2 = W.partitionBy("host").orderBy(*_order_cols())
-        selected = (
-            cand.withColumn("salt", salt)
-            .withColumn("rk1", F.row_number().over(w1))
-            .filter(F.col("rk1") <= F.col("budget"))
-            .withColumn("rk2", F.row_number().over(w2))
-            .filter(F.col("rk2") <= F.col("budget"))
+        host_capped = (
+            cand.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= F.lit(int(max_budget)))
+            .filter(F.col("rk") <= F.col("budget"))
             .select(*FRONTIER_COLS)
-            .orderBy(*_order_cols())
-            .limit(cfg.global_budget)
         )
+        holds: list[DataFrame] = []
+        # adaptive plan choice: when politeness caps bind (host-capped count ≤
+        # global budget — the common crawl regime), the whole set is selected
+        # and the global-limit machinery is skipped
+        host_capped = host_capped.persist()
+        holds.append(host_capped)
+        n_capped = host_capped.count()
+        if n_capped <= round_budget:
+            selected = host_capped
+        else:
+            selected = distributed_limit(host_capped, round_budget, self.spark, holds)
 
-        fetched = run_fetch(selected).persist()
+        # rebalance before the fetch: the selected set inherits skewed
+        # partitioning (top-of-range or per-host clusters); the fetch stage is
+        # the expensive one and must use every core evenly
+        n_fetch = self.spark.sparkContext.defaultParallelism
+        fetched = run_fetch(selected.repartition(n_fetch)).persist()
 
-        # ONE small collect (≤ global_budget rows) drives every metric,
-        # the crawl-order record, and per-partition lineage
-        meta = fetched.select(
-            "url_hash", "score", "depth", "fetch_status", F.size("links").alias("n_links"), "fetch_pid"
-        ).collect()
-        if not meta:
+        # metrics: one small collect (test scale, also yields the crawl-order
+        # record) or two tiny aggregates (bench scale — never ship 10^5 rows
+        # to the driver)
+        order_record: list[str] | None = None
+        if cfg.record_order:
+            meta = fetched.select(
+                "url_hash",
+                "score",
+                "depth",
+                "fetch_status",
+                F.size("links").alias("n_links"),
+                "fetch_pid",
+            ).collect()
+            popped = len(meta)
+            n_success = sum(1 for m in meta if m["fetch_status"] == "success")
+            outlinks_seen = sum(
+                m["n_links"] for m in meta if m["fetch_status"] == "success"
+            )
+            per_partition: dict[int, int] = {}
+            for m in meta:
+                per_partition[m["fetch_pid"]] = per_partition.get(m["fetch_pid"], 0) + 1
+            order_record = [
+                m["url_hash"]
+                for m in sorted(meta, key=lambda m: (-m["score"], m["depth"], m["url_hash"]))
+            ]
+        else:
+            agg_rows = (
+                fetched.groupBy("fetch_status", "fetch_pid")
+                .agg(F.count("*").alias("n"), F.sum(F.size("links")).alias("nl"))
+                .collect()
+            )
+            popped = sum(a["n"] for a in agg_rows)
+            n_success = sum(a["n"] for a in agg_rows if a["fetch_status"] == "success")
+            outlinks_seen = sum(
+                a["nl"] or 0 for a in agg_rows if a["fetch_status"] == "success"
+            )
+            per_partition = {}
+            for a in agg_rows:
+                per_partition[a["fetch_pid"]] = per_partition.get(a["fetch_pid"], 0) + a["n"]
+        for h in holds:
+            h.unpersist()
+        _mark("select_fetch_metrics")
+        if popped == 0:
             fetched.unpersist()
             return {"round": r, "urls_popped": 0, "empty": True}, None, None
-
-        popped = len(meta)
-        n_success = sum(1 for m in meta if m["fetch_status"] == "success")
-        outlinks_seen = sum(m["n_links"] for m in meta if m["fetch_status"] == "success")
-        per_partition: dict[int, int] = {}
-        for m in meta:
-            per_partition[m["fetch_pid"]] = per_partition.get(m["fetch_pid"], 0) + 1
 
         succ = fetched.filter(F.col("fetch_status") == "success")
 
@@ -241,7 +367,9 @@ class CrawlEngine:
                 F.first("host").alias("host"),
             )
         )
-        flagged = bloom.maybe_seen(batch, filters)
+        # persist: both branches (definitely-new + rescue) read this once,
+        # not recompute the whole explode→groupBy→cogroup chain each
+        flagged = bloom.maybe_seen(batch, filters).persist()
         new_rows = (
             flagged.filter(~F.col("maybe_seen"))
             .unionByName(
@@ -263,6 +391,7 @@ class CrawlEngine:
             .persist()
         )
         new_count = new_rows.count()
+        _mark("outlinks_dedup")
 
         # frontier state update (the "pop" rewrite — reference LTRIM analog)
         outcome = fetched.select("url_hash", F.col("fetch_status").alias("_st"))
@@ -292,10 +421,10 @@ class CrawlEngine:
             )
             .select(*FRONTIER_COLS)
         )
-        # bound write fan-out: the union would otherwise carry every upstream
-        # shuffle's partitioning into the snapshot (tiny files, task overhead)
-        n_write = max(self.spark.sparkContext.defaultParallelism // 2, 4)
-        new_frontier = updated.unionByName(new_rows.select(*FRONTIER_COLS)).coalesce(
+        # bound write fan-out with a repartition (NOT coalesce — coalesce
+        # would cap the upstream join's parallelism too)
+        n_write = max(self.spark.sparkContext.defaultParallelism, 4)
+        new_frontier = updated.unionByName(new_rows.select(*FRONTIER_COLS)).repartition(
             n_write
         )
 
@@ -317,6 +446,7 @@ class CrawlEngine:
 
         metrics = {
             "round": r,
+            "round_budget": round_budget,
             "urls_popped": popped,
             "urls_fetched": n_success,
             "urls_failed": popped - n_success,
@@ -327,60 +457,80 @@ class CrawlEngine:
                 {"pid": pid, "rows": n} for pid, n in sorted(per_partition.items())
             ],
         }
-        if cfg.record_order:
-            metrics["crawl_order"] = [
-                m["url_hash"]
-                for m in sorted(meta, key=lambda m: (-m["score"], m["depth"], m["url_hash"]))
-            ]
+        if order_record is not None:
+            metrics["crawl_order"] = order_record
 
-        rounds_row = self.spark.createDataFrame(
-            [
-                (
-                    r,
-                    metrics["urls_popped"],
-                    metrics["urls_fetched"],
-                    metrics["urls_failed"],
-                    metrics["outlinks_seen"],
-                    metrics["dedup_dropped"],
-                    metrics["new_frontier"],
-                    "committed",
-                )
-            ],
-            self._rounds_schema(),
-        )
+        metrics["state"] = "committed"
+        # the rounds lineage table lives in the snapshot manifests (the
+        # manifest IS the commit) — no per-round parquet job for it
         self.store.commit_round(
             r,
             overwrite={"frontier": new_frontier, "seen_filter": new_filters},
-            append={"results": results, "rounds": rounds_row},
+            append={"results": results},
             metrics=metrics,
         )
+        _mark("commit")
+        if _profile:
+            metrics["_phases"] = _phases
+            print(f"[profile] round {r}: {_phases}", flush=True)
         # carry the just-written snapshot (lazy read-back: truncates lineage
         # without recomputing the plan a second time)
         carried_frontier = self.store.read(self.spark, "frontier")
         carried_filters = self.store.read(self.spark, "seen_filter")
         fetched.unpersist()
+        flagged.unpersist()
         new_rows.unpersist()
         return metrics, carried_frontier, carried_filters
 
     # -- full run ---------------------------------------------------------------------
 
-    def run(self, seed_urls: list[str] | None = None) -> list[dict]:
+    def cancel(self) -> None:
+        """T6 cancellation (reference cancel_a_job, api.py:484-606): stop
+        before the next round; any in-flight round's jobs are interruptible
+        via the per-round job group. Uncommitted work is simply not in the
+        snapshot — resume re-runs that round exactly."""
+        self._cancel = True
+        try:
+            last = self.store.last_round()
+            if last is not None:
+                self.spark.sparkContext.cancelJobGroup(f"crawl_round_{last + 1}")
+        except Exception:  # noqa: BLE001 — cancellation is best-effort
+            pass
+
+    def _next_budget(self, last_metrics: dict | None) -> int:
+        """R1/X1 controller: base * (1 - error_rate), floored."""
+        if not self.cfg.adaptive_budget or not last_metrics:
+            return self.cfg.global_budget
+        popped = last_metrics.get("urls_popped", 0)
+        err = (last_metrics.get("urls_failed", 0) / popped) if popped else 0.0
+        return max(self.cfg.min_budget, int(self.cfg.global_budget * (1.0 - err)))
+
+    def run(self, seed_urls: list[str] | None = None, on_round=None) -> list[dict]:
         if seed_urls is not None:
             self.submit_seeds(seed_urls)
         last = self.store.last_round()
         if last is None:
             raise ValueError("no checkpoint and no seeds — call with seed_urls")
+        self._cancel = False
         frontier = self.store.read(self.spark, "frontier")
         filters = self.store.read(self.spark, "seen_filter")
+        # resume picks up the controller state from the last committed round
+        committed = self.store.round_metrics()
+        last_metrics = committed[-1] if committed else None
         out = []
         import time as _time
 
         for r in range(last + 1, self.cfg.max_rounds):
+            if self._cancel:
+                break
             t0 = _time.time()
-            m, nf, nflt = self.run_round(r, frontier, filters)
+            m, nf, nflt = self.run_round(r, frontier, filters, self._next_budget(last_metrics))
             if m.get("empty"):
                 break
             m["_sec"] = round(_time.time() - t0, 2)
             frontier, filters = nf, nflt
+            last_metrics = m
             out.append(m)
+            if on_round is not None:
+                on_round(m)
         return out

@@ -44,15 +44,28 @@ FETCH_SCHEMA = T.StructType(
 _SESSION_POOL: dict[str, int] = {}
 
 
+# Deterministic per-page CPU work simulating realistic fetch+parse cost
+# (the reference's per-page browser work is seconds; html→markdown alone is
+# ms-scale). 0 = off. Calibrated: ~2500 pbkdf2-sha256 iters ≈ 1 ms.
+import hashlib as _hashlib
+import os as _os
+
+_FETCH_WORK_MS = float(_os.environ.get("CRAWL_FETCH_WORK_MS", "0"))
+_ITERS_PER_MS = 2500
+
+
 def fetch_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
     _SESSION_POOL["default"] = _SESSION_POOL.get("default", 0) + 1
+    work_iters = int(_FETCH_WORK_MS * _ITERS_PER_MS)
     for pdf in batches:
         spans_col, links_col, status_col = [], [], []
         for u in pdf["url_norm"]:
+            if work_iters:
+                _hashlib.pbkdf2_hmac("sha256", u.encode(), b"fetchwork", work_iters)
             page = WG.fetch_page(u)
             status_col.append(page.fetch_status)
             spans_col.append(

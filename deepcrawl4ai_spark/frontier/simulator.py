@@ -36,6 +36,8 @@ class SimConfig:
     max_depth: int = 4
     max_attempts: int = 2
     budget_scale: int = 1
+    adaptive_budget: bool = False
+    min_budget: int = 10
 
 
 @dataclass
@@ -96,9 +98,15 @@ def simulate(seed_urls: list[str], cfg: SimConfig | None = None) -> SimResult:
             entries.sort(key=lambda e: (-e.score, e.depth, e.url_hash))
             budget = robots.get(host, {"max_tokens": 2})["max_tokens"] * cfg.budget_scale
             picked.extend(entries[:budget])
-        # global budget — canonical total order
+        # global budget — canonical total order; R1/X1 controller shrinks the
+        # budget by the previous round's error rate when adaptive
+        round_budget = cfg.global_budget
+        if cfg.adaptive_budget and res.round_metrics:
+            prev = res.round_metrics[-1]
+            err = prev["urls_failed"] / prev["urls_popped"] if prev["urls_popped"] else 0.0
+            round_budget = max(cfg.min_budget, int(cfg.global_budget * (1.0 - err)))
         picked.sort(key=lambda e: (-e.score, e.depth, e.url_hash))
-        picked = picked[: cfg.global_budget]
+        picked = picked[:round_budget]
 
         fetched = failed = outlinks_seen = dedup_dropped = 0
         new_rows: dict[str, SimEntry] = {}

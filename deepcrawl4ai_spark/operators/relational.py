@@ -159,6 +159,21 @@ def r8_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def o5_stream_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: stream read paging — XREAD COUNT 20 from last_id
+    (reference job.py:405-436): page number per (stream, position)."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    rn = F.row_number().over(w)
+    return (
+        events.select("user_id", "event_id", rn.alias("pos"))
+        .withColumn("page", F.floor((F.col("pos") - 1) / 20).cast("int"))
+        .groupBy("user_id", "page")
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("from_id"),
+             F.max("event_id").alias("to_id"))
+    )
+
+
 # --- J-family: dedup / lookups (reference job.py:471-484, crawler_pool.py:21-49) ---
 
 def j1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,9 +187,12 @@ def j1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def j3_exact_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 exact rescue path: candidates NOT in the seen set = left anti-join
-    (SURVEY.md J3). Customers with no orders."""
+    (SURVEY.md J3). Customers with no 'F'-status orders (nonzero at every sf,
+    so the gate actually exercises the join)."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")

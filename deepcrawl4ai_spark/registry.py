@@ -159,7 +159,8 @@ _q(
     """
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
     """,
 )
 
@@ -735,5 +736,20 @@ _q(
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name
+    """,
+)
+
+_q(
+    "o5_stream_paging",
+    R.o5_stream_paging,
+    """
+    WITH pos AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS pos
+      FROM events
+    )
+    SELECT user_id, CAST(floor((pos - 1) / 20) AS INT) AS page,
+           count(*) AS n, min(event_id) AS from_id, max(event_id) AS to_id
+    FROM pos GROUP BY 1, 2
     """,
 )

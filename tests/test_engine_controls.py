@@ -1,0 +1,93 @@
+"""Tests for the round-budget controller (R1/X1), cancellation (T6),
+snapshot expiry (S11/X12), and config utilities (J2/P10)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from deepcrawl4ai_spark.frontier import webgraph as WG
+from deepcrawl4ai_spark.frontier.engine import CrawlEngine, EngineConfig
+from deepcrawl4ai_spark.frontier.simulator import SimConfig, simulate
+
+CFG = dict(global_budget=80, max_depth=3, max_attempts=2)
+
+
+def test_adaptive_budget_matches_simulator(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("adaptive"))
+    eng = CrawlEngine(
+        spark, root, EngineConfig(max_rounds=3, adaptive_budget=True, **CFG)
+    )
+    metrics = eng.run(WG.gen_seeds(48))
+    sim = simulate(
+        WG.gen_seeds(48), SimConfig(max_rounds=3, adaptive_budget=True, **CFG)
+    )
+    assert len(metrics) == len(sim.round_metrics)
+    for i, m in enumerate(metrics):
+        assert m["crawl_order"] == sim.crawl_order[i], f"round {i}"
+        assert m["urls_popped"] == sim.round_metrics[i]["urls_popped"]
+    # controller relation: a round following failures runs with a shrunken
+    # budget; a round following a clean round runs at full budget
+    for prev, cur in zip(metrics, metrics[1:]):
+        if prev["urls_failed"] > 0:
+            assert cur["round_budget"] < CFG["global_budget"]
+        else:
+            assert cur["round_budget"] == CFG["global_budget"]
+
+
+def test_cancel_between_rounds_then_resume(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cancel"))
+    eng = CrawlEngine(spark, root, EngineConfig(max_rounds=4, **CFG))
+
+    def stop_after_first(m):
+        if m["round"] == 0:
+            eng.cancel()
+
+    m1 = eng.run(WG.gen_seeds(48), on_round=stop_after_first)
+    assert [m["round"] for m in m1] == [0]
+    # resume completes the remaining rounds; total equals an uninterrupted run
+    eng2 = CrawlEngine(spark, root, EngineConfig(max_rounds=4, **CFG))
+    m2 = eng2.run()
+    assert [m["round"] for m in m2] == [1, 2, 3]
+    sim = simulate(WG.gen_seeds(48), SimConfig(max_rounds=4, **CFG))
+    assert m2[-1]["crawl_order"] == sim.crawl_order[3]
+
+
+def test_expire_snapshots(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("expire"))
+    eng = CrawlEngine(spark, root, EngineConfig(max_rounds=4, **CFG))
+    eng.run(WG.gen_seeds(32))
+    snap_dir = os.path.join(root, "_snapshots")
+    before = len(os.listdir(snap_dir))
+    removed = eng.store.expire_snapshots(keep_last=2)
+    assert removed and len(os.listdir(snap_dir)) == before - len(removed)
+    # current snapshot still fully readable
+    assert eng.store.read(spark, "frontier").count() > 0
+    assert eng.store.read(spark, "results").count() > 0
+    # resume still works from the retained tail
+    eng2 = CrawlEngine(spark, root, EngineConfig(max_rounds=4, **CFG))
+    assert eng2.run() == []  # already at max_rounds — nothing re-runs
+
+
+def test_config_signature_and_safe_load():
+    from deepcrawl4ai_spark.functions.config import (
+        config_signature,
+        safe_load_config,
+    )
+
+    a = {"max_rounds": 3, "query": "x"}
+    b = {"query": "x", "max_rounds": 3}
+    assert config_signature(a) == config_signature(b)  # key order irrelevant
+    assert config_signature(a) != config_signature({"max_rounds": 4, "query": "x"})
+
+    assert safe_load_config({"filter_type": "bm25", "global_budget": 10}) == {
+        "filter_type": "bm25",
+        "global_budget": 10,
+    }
+    with pytest.raises(ValueError, match="unknown config key"):
+        safe_load_config({"__import__": "os"})
+    with pytest.raises(ValueError, match="expected"):
+        safe_load_config({"global_budget": "10"})
+    with pytest.raises(ValueError, match="filter_type"):
+        safe_load_config({"filter_type": "nope"})

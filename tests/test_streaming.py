@@ -1,0 +1,151 @@
+"""Streaming-contract tests — the reference's SSE assertions
+(tests/test_stream.py:36-57) ported to the results-table-backed shim, plus
+Structured Streaming micro-batch semantics."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from deepcrawl4ai_spark.frontier import webgraph as WG
+from deepcrawl4ai_spark.frontier.engine import CrawlEngine, EngineConfig
+
+
+@pytest.fixture(scope="module")
+def small_store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ssestore"))
+    eng = CrawlEngine(spark, root, EngineConfig(global_budget=40, max_rounds=2))
+    eng.run(WG.gen_seeds(16))
+    return eng.store
+
+
+def test_sse_framing_and_completion(spark, small_store):
+    from deepcrawl4ai_spark.streaming.sse import stream_results_sse
+
+    frames = list(stream_results_sse(spark, small_store))
+    assert len(frames) > 2
+    # reference test_stream.py:36-37 — framing
+    for f in frames:
+        assert f.startswith("data: ")
+        assert f.endswith("\n\n")
+    # reference utils.py:368 / job.py:461-468 — completion then [DONE]
+    assert json.loads(frames[-2][len("data: ") : -2])["status"] == "completed"
+    assert frames[-1] == "data: [DONE]\n\n"
+
+
+def test_sse_chunk_fields_and_dedup(spark, small_store):
+    from deepcrawl4ai_spark.streaming.sse import stream_results_sse
+
+    frames = list(stream_results_sse(spark, small_store))
+    seen = set()
+    for f in frames[:-2]:
+        payload = json.loads(f[len("data: ") : -2])
+        # reference test_stream.py:44-51 — chunk fields
+        for field in ("url", "chunk_index", "total_chunks", "dump", "type"):
+            assert field in payload
+        key = f"{payload['chunk_index']}_{payload['url']}"
+        assert key not in seen  # reference job.py:471-484 — duplicate suppression
+        seen.add(key)
+        # reconstructed dump must parse once all chunks concatenated — spot
+        # check single-chunk payloads
+        if payload["total_chunks"] == 1:
+            doc = json.loads(payload["dump"])
+            assert "spans" in doc and "doc_id" in doc
+
+
+def test_sse_from_round_filter(spark, small_store):
+    from deepcrawl4ai_spark.streaming.sse import stream_results_sse
+
+    all_frames = list(stream_results_sse(spark, small_store, from_round=0))
+    late_frames = list(stream_results_sse(spark, small_store, from_round=1))
+    assert len(late_frames) < len(all_frames)
+
+
+def test_structured_streaming_results_tail(spark, small_store, tmp_path):
+    """readStream over the committed results files drains every round's docs
+    with availableNow (T1/T3)."""
+    from deepcrawl4ai_spark.streaming.structured import results_stream
+
+    import os
+
+    snap = small_store.current_snapshot()
+    paths = snap["tables"]["results"]
+    # file-stream sources take one directory: the results table root covers
+    # every committed round's files
+    results_root = os.path.dirname(paths[0])
+    sdf = results_stream(spark, results_root)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("res_tail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM res_tail").collect()[0]["n"]
+    batch_total = small_store.read(spark, "results").count()
+    assert got == batch_total
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    """Streaming windowed agg (watermark path) equals the batch computation
+    on a bounded input (T4/T8 semantics check)."""
+    from deepcrawl4ai_spark.sources.tables import load_table
+    from deepcrawl4ai_spark.streaming.structured import windowed_event_counts
+
+    from pyspark.sql import functions as F
+
+    # watermarks need TIMESTAMP (tz-aware); testdata ts is TIMESTAMP_NTZ
+    events = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # bounded batch reference
+    batch = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+    # same via streaming file source
+    src = str(tmp_path / "events_stream")
+    events.write.parquet(src)
+    sdf = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_event_counts(sdf)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # append mode only emits windows the watermark has closed; every emitted
+    # window must match the batch result exactly
+    assert got
+    for k, v in got.items():
+        assert batch[k] == v
+
+
+def test_multimodal_plumbing(spark):
+    from deepcrawl4ai_spark.multimodal import media as M
+
+    df = M.synth_media_df(spark, 64)
+    feats = M.extract_features(df).collect()
+    assert len(feats) == 64
+    for r in feats:
+        assert len(r["feature"]) == M.FEATURE_DIM
+    # determinism: same payload → same features
+    again = {r["media_ref"]: r["feature"] for r in M.extract_features(df).collect()}
+    assert all(again[r["media_ref"]] == r["feature"] for r in feats)
+
+    imgs = M.resize_images(df, max_side=32).collect()
+    assert all(r["meta"]["width"] <= 32 and r["meta"]["height"] <= 32 for r in imgs)
+    assert all(r["kind"] == "image" for r in imgs)
+
+    frames = M.sample_frames(df, every_s=2.0).collect()
+    assert frames and all(len(r["frame"]) == 20 for r in frames)
+
+    with pytest.raises(Exception, match="NotImplementedError|not in this container|PIL"):
+        M.extract_features(df, decode_stub=False).collect()

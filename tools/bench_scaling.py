@@ -83,17 +83,32 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=150_000)
     ap.add_argument("--budget-scale", type=int, default=400)
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--fetch-work-ms",
+        type=float,
+        default=2.0,
+        help="deterministic per-page CPU work (ms) simulating realistic "
+        "fetch+parse cost; 0 disables",
+    )
     args = ap.parse_args()
+    # must be set before the session so python workers inherit it
+    os.environ["CRAWL_FETCH_WORK_MS"] = str(args.fetch_work_ms)
 
     from deepcrawl4ai_spark.frontier.engine import CrawlEngine, EngineConfig
     from deepcrawl4ai_spark.session import get_spark
 
+    # tmpfs for both the checkpoint store and Spark's shuffle/spill dirs —
+    # a single local disk would serialize the IO and mask CPU scaling (a real
+    # cluster has per-executor disks)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    local_dir = tempfile.mkdtemp(prefix="spark_local_", dir=shm)
     spark = get_spark(
         f"scaling_bench_{args.cores}",
         cores=args.cores,
         shuffle_partitions=max(args.cores * 2, 16),
+        extra_conf={"spark.local.dir": local_dir},
     )
-    store = tempfile.mkdtemp(prefix=f"scalestore{args.cores}_")
+    store = tempfile.mkdtemp(prefix=f"scalestore{args.cores}_", dir=shm)
     try:
         eng = CrawlEngine(
             spark,
@@ -138,6 +153,7 @@ def main() -> None:
     finally:
         shutil.rmtree(store, ignore_errors=True)
         spark.stop()
+        shutil.rmtree(local_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

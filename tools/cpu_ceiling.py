@@ -1,0 +1,52 @@
+"""Measure this machine's raw 8→32-process CPU scaling ceiling.
+
+Pure embarrassingly-parallel pbkdf2 across N processes — zero coordination,
+zero shuffle, zero Spark. Whatever efficiency THIS gives is the hardware's
+upper bound for any 8-vs-32 comparison on this box (shared cloud VM:
+hypervisor steal rises under full load). Engine efficiency in
+BENCH/BASELINE.md is reported both raw and normalized by this ceiling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import multiprocessing as mp
+import time
+
+
+def _work(n: int) -> None:
+    for i in range(n):
+        hashlib.pbkdf2_hmac("sha256", b"x%d" % i, b"s", 2500)
+
+
+def bench(procs: int, total: int = 96_000) -> float:
+    per = total // procs
+    ps = [mp.Process(target=_work, args=(per,)) for _ in range(procs)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return time.time() - t0
+
+
+def main() -> None:
+    # warm-up
+    bench(8, total=8_000)
+    t8 = min(bench(8) for _ in range(2))
+    t32 = min(bench(32) for _ in range(2))
+    print(
+        json.dumps(
+            {
+                "t8_sec": round(t8, 2),
+                "t32_sec": round(t32, 2),
+                "speedup_8_to_32": round(t8 / t32, 2),
+                "ceiling_efficiency": round((t8 / t32) / 4, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
