@@ -39,9 +39,14 @@ HEADLINE = [
     "c3_bm25_rank",
 ]
 
-FRONTIER_SEEDS = 64
+FRONTIER_SEEDS = 2000
 FRONTIER_ROUNDS = 3
-FRONTIER_BUDGET = 400
+FRONTIER_BUDGET = 4000
+FRONTIER_BUDGET_SCALE = 10
+# universe sizing — read by webgraph at import; must be set before the
+# SparkSession exists so python workers agree
+os.environ.setdefault("CRAWL_N_HOSTS", "100")
+os.environ.setdefault("CRAWL_PAGE_SCALE", "10000")
 
 
 def _force(df) -> int:
@@ -76,6 +81,7 @@ def main() -> None:
                 global_budget=FRONTIER_BUDGET,
                 max_rounds=FRONTIER_ROUNDS,
                 max_depth=4,
+                budget_scale=FRONTIER_BUDGET_SCALE,
                 record_order=False,
             ),
         )

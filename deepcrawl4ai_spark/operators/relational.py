@@ -118,7 +118,7 @@ def o1_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rk").cast("long").alias("rk"))
     )
 
 

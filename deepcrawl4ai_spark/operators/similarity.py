@@ -53,7 +53,7 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
-        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "rk")
+        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), F.col("rk").cast("long").alias("rk"))
     )
 
 
@@ -119,5 +119,5 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "rk")
+        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), F.col("rk").cast("long").alias("rk"))
     )

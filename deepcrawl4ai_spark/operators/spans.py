@@ -95,9 +95,11 @@ def c1_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_img = F.get(F.filter(F.col("spans"), is_img), 0)["offset"]
     return docs.select(
         "doc_id",
-        F.size("spans").alias("n_spans"),
-        F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "text")).alias("n_text"),
-        F.size(F.filter(F.col("spans"), is_img)).alias("n_media"),
+        F.size("spans").cast("long").alias("n_spans"),
+        F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "text"))
+        .cast("long")
+        .alias("n_text"),
+        F.size(F.filter(F.col("spans"), is_img)).cast("long").alias("n_media"),
         F.coalesce(first_img, F.lit(-1)).alias("first_media_offset"),
     )
 

@@ -21,10 +21,10 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias(
-            "n_bpe_tokens"
-        ),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
 
 
@@ -41,8 +41,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_stop.alias("n_stopwords"),
+        n_words.cast("long").alias("n_words"),
+        n_stop.cast("long").alias("n_stopwords"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         score.alias("quality_score"),
     )
@@ -62,11 +62,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        s_en.alias("s_en"),
-        s_tech.alias("s_tech"),
-        s_db.alias("s_db"),
+        s_en.cast("long").alias("s_en"),
+        s_tech.cast("long").alias("s_tech"),
+        s_db.cast("long").alias("s_db"),
         pred.alias("pred_lang"),
-        (pred == F.col("lang")).cast("int").alias("matches_label"),
+        (pred == F.col("lang")).cast("long").alias("matches_label"),
     )
 
 
@@ -94,7 +94,7 @@ def c2_pruning_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     density = F.col("n_chars") / (n_words * 8.0)
     return (
         docs.select(
-            "doc_id", n_words.alias("n_words"), F.round(density, 6).alias("density")
+            "doc_id", n_words.cast("long").alias("n_words"), F.round(density, 6).alias("density")
         )
         .filter((F.col("n_words") >= 5) & (F.col("density") >= 0.45))
     )

@@ -550,7 +550,7 @@ _q(
                 ELSE 'db' END AS pred_lang,
            CAST(CASE WHEN s_en >= s_tech AND s_en >= s_db THEN 'en'
                      WHEN s_tech >= s_db THEN 'tech'
-                     ELSE 'db' END = lang AS INTEGER) AS matches_label
+                     ELSE 'db' END = lang AS BIGINT) AS matches_label
     FROM t
     """,
 )
@@ -637,7 +637,7 @@ _SPAN_CTE = """
       FROM w
     ),
     sp AS (
-      SELECT doc_id, g AS "offset",
+      SELECT doc_id, CAST(g AS INT) AS "offset",
              substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)), 1, 1)
                IN ('0','1','2','3') AS is_image,
              array_to_string(words[g*4+1 : g*4+4], ' ') AS span_text
