@@ -22,7 +22,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-OVERWRITE_TABLES = ("frontier", "seen_filter")  # full state per round
+OVERWRITE_TABLES = ("frontier", "seen_filter", "host_state")  # full state per round
 APPEND_TABLES = ("results", "rounds")  # accumulated across rounds
 
 

@@ -74,6 +74,13 @@ class EngineConfig:
     # in cpu/mem gauges, which are non-replayable and stay out of tests.
     adaptive_budget: bool = False
     min_budget: int = 10
+    # R3/R4 token bucket (reference TokenBucket, redisCache.py:85-89): when
+    # on, a host's round budget is min(capacity, tokens + refill) with the
+    # balance carried in a checkpointed host_state table; refill =
+    # robots.rps_budget per round. When off, budget = capacity each round
+    # (equivalent to refill == capacity). All integer round arithmetic — no
+    # wall clock — so replays/resume are exact.
+    token_bucket: bool = False
 
 
 def _score_sql(url_hash_col):
@@ -152,10 +159,10 @@ class CrawlEngine:
         self._max_budget = max(scaled, default=2)
         self.robots_df = spark.createDataFrame(
             [
-                (r["host"], t, r["disallow_rules"])
+                (r["host"], t, int(r["rps_budget"]) * self.cfg.budget_scale, r["disallow_rules"])
                 for r, t in zip(robots, scaled)
             ],
-            "host string, max_tokens int, disallow_rules array<string>",
+            "host string, max_tokens int, refill int, disallow_rules array<string>",
         )
 
     # -- seed ingest (S1) -------------------------------------------------------
@@ -255,10 +262,36 @@ class CrawlEngine:
 
         cand = frontier.filter((F.col("state") == "queued") & (F.col("due_round") <= r))
 
-        # politeness budget join (broadcast — robots is a small dim table)
-        cand = cand.join(
-            F.broadcast(self.robots_df.select("host", "max_tokens")), "host", "left"
-        ).withColumn("budget", F.coalesce(F.col("max_tokens"), F.lit(2)))
+        # politeness budget join (broadcast — robots is a small dim table).
+        # token_bucket: budget = min(capacity, carried tokens + refill); the
+        # balance lives in the checkpointed host_state table (R3/R4).
+        host_state = (
+            self.store.read(self.spark, "host_state") if cfg.token_bucket else None
+        )
+        if cfg.token_bucket:
+            eff = self.robots_df.select("host", "max_tokens", "refill")
+            if host_state is not None:
+                eff = eff.join(host_state, "host", "left")
+            else:
+                eff = eff.withColumn("tokens", F.lit(None).cast("int"))
+            eff = (
+                eff.withColumn(
+                    "tokens", F.coalesce(F.col("tokens"), F.col("max_tokens"))
+                )
+                .withColumn(
+                    "avail",
+                    F.least(F.col("max_tokens"), F.col("tokens") + F.col("refill")),
+                )
+                .select("host", "avail")
+                .persist()
+            )
+            budgets = eff.select("host", F.col("avail").alias("max_tokens"))
+        else:
+            eff = None
+            budgets = self.robots_df.select("host", "max_tokens")
+        cand = cand.join(F.broadcast(budgets), "host", "left").withColumn(
+            "budget", F.coalesce(F.col("max_tokens"), F.lit(2))
+        )
 
         # per-host exact top-budget in ONE window pass. The literal rank bound
         # makes Catalyst insert WindowGroupLimit: each map task keeps only its
@@ -461,11 +494,20 @@ class CrawlEngine:
             metrics["crawl_order"] = order_record
 
         metrics["state"] = "committed"
+        overwrite = {"frontier": new_frontier, "seen_filter": new_filters}
+        if cfg.token_bucket and eff is not None:
+            consumed = fetched.groupBy("host").agg(F.count("*").alias("consumed"))
+            overwrite["host_state"] = eff.join(consumed, "host", "left").select(
+                "host",
+                (F.col("avail") - F.coalesce(F.col("consumed"), F.lit(0)))
+                .cast("int")
+                .alias("tokens"),
+            )
         # the rounds lineage table lives in the snapshot manifests (the
         # manifest IS the commit) — no per-round parquet job for it
         self.store.commit_round(
             r,
-            overwrite={"frontier": new_frontier, "seen_filter": new_filters},
+            overwrite=overwrite,
             append={"results": results},
             metrics=metrics,
         )
@@ -480,6 +522,8 @@ class CrawlEngine:
         fetched.unpersist()
         flagged.unpersist()
         new_rows.unpersist()
+        if eff is not None:
+            eff.unpersist()
         return metrics, carried_frontier, carried_filters
 
     # -- full run ---------------------------------------------------------------------

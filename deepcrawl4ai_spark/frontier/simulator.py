@@ -38,6 +38,7 @@ class SimConfig:
     budget_scale: int = 1
     adaptive_budget: bool = False
     min_budget: int = 10
+    token_bucket: bool = False
 
 
 @dataclass
@@ -85,6 +86,12 @@ def simulate(seed_urls: list[str], cfg: SimConfig | None = None) -> SimResult:
         )
     res.seen = set(frontier)
 
+    # R3/R4 token-bucket state: capacity/refill scaled like the engine;
+    # buckets start full; update every robots host every round
+    caps = {h: robots[h]["max_tokens"] * cfg.budget_scale for h in robots}
+    refills = {h: int(robots[h]["rps_budget"]) * cfg.budget_scale for h in robots}
+    tokens = dict(caps)
+
     for r in range(cfg.max_rounds):
         cand = [e for e in frontier.values() if e.state == "queued" and e.due_round <= r]
         if not cand:
@@ -93,10 +100,19 @@ def simulate(seed_urls: list[str], cfg: SimConfig | None = None) -> SimResult:
         by_host: dict[str, list[SimEntry]] = {}
         for e in cand:
             by_host.setdefault(e.host, []).append(e)
+        if cfg.token_bucket:
+            avail = {
+                h: min(caps[h], tokens[h] + refills[h]) for h in robots
+            }
         picked: list[SimEntry] = []
         for host, entries in by_host.items():
             entries.sort(key=lambda e: (-e.score, e.depth, e.url_hash))
-            budget = robots.get(host, {"max_tokens": 2})["max_tokens"] * cfg.budget_scale
+            if cfg.token_bucket and host in robots:
+                budget = avail[host]
+            else:
+                budget = (
+                    robots.get(host, {"max_tokens": 2})["max_tokens"] * cfg.budget_scale
+                )
             picked.extend(entries[:budget])
         # global budget — canonical total order; R1/X1 controller shrinks the
         # budget by the previous round's error rate when adaptive
@@ -107,6 +123,12 @@ def simulate(seed_urls: list[str], cfg: SimConfig | None = None) -> SimResult:
             round_budget = max(cfg.min_budget, int(cfg.global_budget * (1.0 - err)))
         picked.sort(key=lambda e: (-e.score, e.depth, e.url_hash))
         picked = picked[:round_budget]
+        if cfg.token_bucket:
+            consumed: dict[str, int] = {}
+            for e in picked:
+                consumed[e.host] = consumed.get(e.host, 0) + 1
+            for h in robots:
+                tokens[h] = avail[h] - consumed.get(h, 0)
 
         fetched = failed = outlinks_seen = dedup_dropped = 0
         new_rows: dict[str, SimEntry] = {}

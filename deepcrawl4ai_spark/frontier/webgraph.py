@@ -175,13 +175,16 @@ def robots_rows() -> list[dict]:
     rows = []
     for i, h in enumerate(hosts()):
         delay = (0.5, 1.0, 2.0)[i % 3]
-        budget = max(1, int(8 / delay / 2))  # 8, 4, 2 fetches/round
+        budget = max(1, int(8 / delay / 2))  # 8, 4, 2 fetches/round (capacity)
+        # half of the hosts refill slower than capacity — exercises the
+        # token-bucket carry (reference TokenBucket: cap 10, refill 5/window)
+        refill = budget if i % 2 else max(1, budget // 2)
         disallow = ["/p/9"] if i % 7 == 3 else []
         rows.append(
             {
                 "host": h,
                 "crawl_delay": delay,
-                "rps_budget": float(budget),
+                "rps_budget": float(refill),
                 "max_tokens": budget,
                 "disallow_rules": disallow,
             }
