@@ -216,3 +216,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.3)
     )
+
+
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with survivor policy: keep the smallest doc_id per
+    fingerprint bucket (bucketed by md5 prefix to guarantee collisions in
+    the synthetic corpus); list every dropped doc with its survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.substring(F.md5("text"), 1, 2).alias("bucket")
+    )
+    survivor = fp.groupBy("bucket").agg(F.min("doc_id").alias("keep_doc"))
+    return (
+        fp.join(survivor, "bucket")
+        .filter(F.col("doc_id") != F.col("keep_doc"))
+        .select("bucket", "doc_id", "keep_doc")
+    )

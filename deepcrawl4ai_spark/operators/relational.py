@@ -307,3 +307,32 @@ def p8_status_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n"))
     )
+
+
+def t1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: micro-batch rounds as event-time windows — per-hour event counts
+    and value sums (the batch equivalent of the streaming windowed agg)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("win_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def p4_task_id_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: is_task_id — startswith('llm_') and contains '_' after the prefix
+    (reference utils.py:112-114). Ids synthesized from events."""
+    events = load_table(spark, sf_dir, "events")
+    task_id = F.when(
+        F.col("event_id") % 4 == 0,
+        F.concat(F.lit("llm_job_"), F.col("event_id")),
+    ).when(
+        F.col("event_id") % 4 == 1, F.concat(F.lit("llm"), F.col("event_id"))
+    ).otherwise(F.concat(F.lit("crawl_"), F.col("event_id")))
+    ids = events.select("event_id", task_id.alias("task_id"))
+    return ids.filter(
+        F.col("task_id").startswith("llm_")
+        & (F.instr(F.substring(F.col("task_id"), 5, 1000000), "_") > 0)
+    )

@@ -121,3 +121,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), F.col("rk").cast("long").alias("rk"))
     )
+
+
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: centroids = vectors with vec_id % 50 == 0;
+    assign every vector to its nearest centroid by cosine (deterministic
+    tie-break), report cluster occupancy — the partition-pruning layer of a
+    scaled vector index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nrm")
+    )
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cos.alias("cos_raw")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), F.col("cid").asc())
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    return assigned.groupBy("cid").agg(F.count("*").alias("cluster_size"))

@@ -753,3 +753,72 @@ _q(
     FROM pos GROUP BY 1, 2
     """,
 )
+
+_q(
+    "dedup_exact_keep",
+    D.dedup_exact_keep,
+    """
+    WITH fp AS (SELECT doc_id, substr(md5(text), 1, 2) AS bucket FROM documents),
+    s AS (SELECT bucket, min(doc_id) AS keep_doc FROM fp GROUP BY bucket)
+    SELECT bucket, doc_id, keep_doc
+    FROM fp JOIN s USING (bucket) WHERE doc_id <> keep_doc
+    """,
+)
+
+_q(
+    "ann_ivf_assign",
+    S.ann_ivf_assign,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, cents.cid,
+             {_DOT.format(a='e.v', b='cents.cv')} / (e.nrm * cents.cn) AS cos_raw
+      FROM e CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_raw DESC, cid ASC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT cid, count(*) AS cluster_size FROM assigned GROUP BY cid
+    """,
+)
+
+_q(
+    "t1_window_counts",
+    R.t1_window_counts,
+    """
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+_q(
+    "p4_task_id_predicate",
+    R.p4_task_id_predicate,
+    """
+    WITH ids AS (
+      SELECT event_id,
+             CASE
+               WHEN event_id % 4 = 0 THEN 'llm_job_' || CAST(event_id AS VARCHAR)
+               WHEN event_id % 4 = 1 THEN 'llm' || CAST(event_id AS VARCHAR)
+               ELSE 'crawl_' || CAST(event_id AS VARCHAR)
+             END AS task_id
+      FROM events
+    )
+    SELECT event_id, task_id FROM ids
+    WHERE task_id LIKE 'llm\\_%' ESCAPE '\\'
+      AND strpos(substr(task_id, 5), '_') > 0
+    """,
+)
