@@ -22,8 +22,11 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-OVERWRITE_TABLES = ("frontier", "seen_filter", "host_state")  # full state per round
-APPEND_TABLES = ("results", "rounds")  # accumulated across rounds
+# active: the live queue (rewritten per round, O(queue) not O(all-seen));
+# done + seen_hashes + results: append-only (terminal rows / url_hash log /
+# fetched docs). 'frontier' is a logical view = active ∪ done.
+OVERWRITE_TABLES = ("active", "seen_filter", "host_state")
+APPEND_TABLES = ("results", "done", "seen_hashes")
 
 
 class CheckpointStore:
@@ -61,18 +64,29 @@ class CheckpointStore:
     ) -> None:
         prev = self.current_snapshot() or {"tables": {}}
         tables: dict[str, list[str]] = {}
+        jobs: list[tuple] = []
         for name, df in overwrite.items():
             path = self._data_dir(name, round_id)
+            tables[name] = [path]
+            jobs.append((df, path))
+        for name, df in append.items():
+            path = self._data_dir(name, round_id)
+            tables[name] = list(prev["tables"].get(name, [])) + [path]
+            jobs.append((df, path))
+
+        def _write(job: tuple) -> None:
+            df, path = job
             if os.path.exists(path):  # idempotent re-run after crash
                 shutil.rmtree(path)
             df.write.mode("overwrite").parquet(path)
-            tables[name] = [path]
-        for name, df in append.items():
-            path = self._data_dir(name, round_id)
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            df.write.mode("overwrite").parquet(path)
-            tables[name] = list(prev["tables"].get(name, [])) + [path]
+
+        # the data writes are independent jobs — submit them concurrently
+        # (Spark schedules them in parallel); the manifest flip below is the
+        # only serialization point
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(jobs) or 1) as pool:
+            list(pool.map(_write, jobs))
         snap = {"round": round_id, "tables": tables, "metrics": metrics}
         snap_path = os.path.join(self.root, "_snapshots", f"r{round_id:05d}.json")
         tmp = snap_path + ".tmp"
@@ -114,6 +128,15 @@ class CheckpointStore:
                 if m.get("round", -1) >= 0
             ]
             return spark.createDataFrame(rows, self.ROUNDS_SCHEMA)
+        if table == "frontier":
+            # logical view: live queue ∪ terminal rows (same columns)
+            active = self.read(spark, "active")
+            done = self.read(spark, "done")
+            if active is None:
+                return done
+            if done is None:
+                return active
+            return active.unionByName(done)
         if table not in snap["tables"]:
             return None
         return spark.read.parquet(*snap["tables"][table])

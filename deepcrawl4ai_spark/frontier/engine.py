@@ -188,15 +188,19 @@ class CrawlEngine:
                 )
                 for r in rows
             ],
-            "url_norm string, url_hash string, host string, depth int, score double,"
-            " due_round int, state string, round_added int, attempt int",
+            self._frontier_schema(),
         )
         filters = bloom.build_filters(frontier.select("url_hash"), -1)
         results = self.spark.createDataFrame([], self._results_schema())
+        empty_done = self.spark.createDataFrame([], self._frontier_schema())
         self.store.commit_round(
             -1,
-            overwrite={"frontier": frontier, "seen_filter": filters},
-            append={"results": results},
+            overwrite={"active": frontier, "seen_filter": filters},
+            append={
+                "results": results,
+                "done": empty_done,
+                "seen_hashes": frontier.select("url_hash"),
+            },
             metrics={"round": -1, "seeded": len(rows)},
         )
 
@@ -210,11 +214,23 @@ class CrawlEngine:
         frontier = frontier.select(*FRONTIER_COLS)
         filters = bloom.build_filters(frontier.select("url_hash"), -1)
         results = self.spark.createDataFrame([], self._results_schema())
+        empty_done = self.spark.createDataFrame([], self._frontier_schema())
         self.store.commit_round(
             -1,
-            overwrite={"frontier": frontier, "seen_filter": filters},
-            append={"results": results},
+            overwrite={"active": frontier, "seen_filter": filters},
+            append={
+                "results": results,
+                "done": empty_done,
+                "seen_hashes": frontier.select("url_hash"),
+            },
             metrics={"round": -1, "seeded": -1},
+        )
+
+    @staticmethod
+    def _frontier_schema() -> str:
+        return (
+            "url_norm string, url_hash string, host string, depth int, score double,"
+            " due_round int, state string, round_added int, attempt int"
         )
 
     @staticmethod
@@ -403,11 +419,12 @@ class CrawlEngine:
         # persist: both branches (definitely-new + rescue) read this once,
         # not recompute the whole explode→groupBy→cogroup chain each
         flagged = bloom.maybe_seen(batch, filters).persist()
+        seen_hashes = self.store.read(self.spark, "seen_hashes")
         new_rows = (
             flagged.filter(~F.col("maybe_seen"))
             .unionByName(
                 flagged.filter(F.col("maybe_seen")).join(
-                    frontier.select("url_hash"), "url_hash", "left_anti"
+                    seen_hashes, "url_hash", "left_anti"
                 )
             )
             .select(
@@ -453,12 +470,19 @@ class CrawlEngine:
                 ).otherwise(F.col("due_round")),
             )
             .select(*FRONTIER_COLS)
+            .persist()
         )
+        # split: terminal rows (fetched/failed) leave the live queue for the
+        # append-only done log — the per-round rewrite is O(queue), not
+        # O(all-seen); retry rows stay queued with their new due_round
+        done_rows = updated.filter(F.col("state") != "queued")
         # bound write fan-out with a repartition (NOT coalesce — coalesce
         # would cap the upstream join's parallelism too)
         n_write = max(self.spark.sparkContext.defaultParallelism, 4)
-        new_frontier = updated.unionByName(new_rows.select(*FRONTIER_COLS)).repartition(
-            n_write
+        new_active = (
+            updated.filter(F.col("state") == "queued")
+            .unionByName(new_rows.select(*FRONTIER_COLS))
+            .repartition(n_write)
         )
 
         # seen filter merge: single cogrouped OR pass (associative/idempotent)
@@ -494,7 +518,7 @@ class CrawlEngine:
             metrics["crawl_order"] = order_record
 
         metrics["state"] = "committed"
-        overwrite = {"frontier": new_frontier, "seen_filter": new_filters}
+        overwrite = {"active": new_active, "seen_filter": new_filters}
         if cfg.token_bucket and eff is not None:
             consumed = fetched.groupBy("host").agg(F.count("*").alias("consumed"))
             overwrite["host_state"] = eff.join(consumed, "host", "left").select(
@@ -508,7 +532,11 @@ class CrawlEngine:
         self.store.commit_round(
             r,
             overwrite=overwrite,
-            append={"results": results},
+            append={
+                "results": results,
+                "done": done_rows,
+                "seen_hashes": new_rows.select("url_hash"),
+            },
             metrics=metrics,
         )
         _mark("commit")
@@ -517,11 +545,12 @@ class CrawlEngine:
             print(f"[profile] round {r}: {_phases}", flush=True)
         # carry the just-written snapshot (lazy read-back: truncates lineage
         # without recomputing the plan a second time)
-        carried_frontier = self.store.read(self.spark, "frontier")
+        carried_frontier = self.store.read(self.spark, "active")
         carried_filters = self.store.read(self.spark, "seen_filter")
         fetched.unpersist()
         flagged.unpersist()
         new_rows.unpersist()
+        updated.unpersist()
         if eff is not None:
             eff.unpersist()
         return metrics, carried_frontier, carried_filters
@@ -556,7 +585,7 @@ class CrawlEngine:
         if last is None:
             raise ValueError("no checkpoint and no seeds — call with seed_urls")
         self._cancel = False
-        frontier = self.store.read(self.spark, "frontier")
+        frontier = self.store.read(self.spark, "active")
         filters = self.store.read(self.spark, "seen_filter")
         # resume picks up the controller state from the last committed round
         committed = self.store.round_metrics()
