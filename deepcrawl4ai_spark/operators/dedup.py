@@ -232,3 +232,40 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("keep_doc"))
         .select("bucket", "doc_id", "keep_doc")
     )
+
+
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage near-dup pipeline: MinHash+LSH candidate pairs →
+    exact shingle-Jaccard verification (keep jaccard ≥ 0.04). At scale the
+    candidate stage collapses the pair space; the exact stage only touches
+    survivors."""
+    cands = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    sh = w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    verified = (
+        cands.join(inter, ["doc1", "doc2"])
+        .join(sizes.alias("sa"), F.col("doc1") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc2") == F.col("sb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= 0.04)

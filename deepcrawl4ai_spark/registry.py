@@ -822,3 +822,35 @@ _q(
       AND strpos(substr(task_id, 5), '_') > 0
     """,
 )
+
+
+def _minhash_verified_sql() -> str:
+    base = _minhash_sql()
+    return f"""
+    WITH cands AS ({base}),
+    w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh2 AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) >= 3
+                    THEN list_transform(generate_series(1, len(w) - 2),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    ELSE [] END) AS sh
+      FROM w2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+      FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc1, c.doc2,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM cands c
+    JOIN inter ON c.doc1 = inter.doc1 AND c.doc2 = inter.doc2
+    JOIN sizes sa ON c.doc1 = sa.doc_id
+    JOIN sizes sb ON c.doc2 = sb.doc_id
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.04
+    """
+
+
+_q("dedup_minhash_verified", D.dedup_minhash_verified, _minhash_verified_sql())
