@@ -167,3 +167,44 @@ def sample_frames(media: DataFrame, every_s: float = 1.0, decode_stub: bool = Tr
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(_sample, schema)
+
+
+# --- C4: schema-guided extraction stub (reference LLMContentFilter /
+# extraction_strategy, api.py:219-226, tasks.py:173-210) -----------------------
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("extracted", T.StringType(), False),  # JSON per schema
+        T.StructField("n_chunks", T.IntegerType(), False),
+    ]
+)
+
+
+def extract_structured(docs: DataFrame, field_names: list[str],
+                       chunk_chars: int = 1200, llm_stub: bool = True) -> DataFrame:
+    """C4 plumbing: chunk each doc's text (chunk_token_threshold analog),
+    run schema-guided extraction per chunk, merge. The LLM call itself is
+    STUBBED (deterministic fake: field values are hash-derived tokens);
+    schema, chunking, batch shape, and merge are real."""
+    import hashlib as _h
+    import json as _json
+
+    def _extract(batches):
+        for pdf in batches:
+            out_ids, out_json, out_n = [], [], []
+            for _, row in pdf.iterrows():
+                if not llm_stub:
+                    raise NotImplementedError("LLM extraction requires an external API")
+                text = row["text"] or ""
+                chunks = [text[i:i + chunk_chars] for i in range(0, max(len(text), 1), chunk_chars)]
+                merged = {}
+                for f in field_names:
+                    h = _h.sha1(f"{row['doc_id']}:{f}:{chunks[0][:64]}".encode()).hexdigest()
+                    merged[f] = f"{f}_{h[:8]}"
+                out_ids.append(str(row["doc_id"]))
+                out_json.append(_json.dumps(merged, sort_keys=True))
+                out_n.append(len(chunks))
+            yield pd.DataFrame({"doc_id": out_ids, "extracted": out_json, "n_chunks": out_n})
+
+    return docs.select("doc_id", "text").mapInPandas(_extract, EXTRACT_SCHEMA)

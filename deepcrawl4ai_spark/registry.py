@@ -854,3 +854,17 @@ def _minhash_verified_sql() -> str:
 
 
 _q("dedup_minhash_verified", D.dedup_minhash_verified, _minhash_verified_sql())
+
+_q(
+    "tpch_q6",
+    SP.tpch_q6,
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)

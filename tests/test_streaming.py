@@ -149,3 +149,20 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|not in this container|PIL"):
         M.extract_features(df, decode_stub=False).collect()
+
+
+def test_c4_extraction_stub(spark):
+    from deepcrawl4ai_spark.multimodal.media import extract_structured
+    from deepcrawl4ai_spark.sources.tables import load_table
+    import json as _json
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    out = extract_structured(docs, ["title", "author"]).collect()
+    assert len(out) == 20
+    for r in out:
+        parsed = _json.loads(r["extracted"])
+        assert set(parsed) == {"title", "author"}
+        assert r["n_chunks"] >= 1
+    # deterministic
+    again = {r["doc_id"]: r["extracted"] for r in extract_structured(docs, ["title", "author"]).collect()}
+    assert all(again[r["doc_id"]] == r["extracted"] for r in out)
