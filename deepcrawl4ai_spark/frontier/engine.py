@@ -385,6 +385,8 @@ class CrawlEngine:
         _mark("select_fetch_metrics")
         if popped == 0:
             fetched.unpersist()
+            if eff is not None:
+                eff.unpersist()
             return {"round": r, "urls_popped": 0, "empty": True}, None, None
 
         succ = fetched.filter(F.col("fetch_status") == "success")
