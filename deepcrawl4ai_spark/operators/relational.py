@@ -336,3 +336,30 @@ def p4_task_id_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("task_id").startswith("llm_")
         & (F.instr(F.substring(F.col("task_id"), 5, 1000000), "_") > 0)
     )
+
+
+def a7_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (beyond the reference — OLAP breadth): event
+    counts at (type, day), (type), and grand-total levels."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.rollup("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def a8_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (beyond the reference): per-user event counts spread across
+    fixed event-type columns."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("click"),
+            F.coalesce("error", F.lit(0)).alias("error"),
+            F.coalesce("purchase", F.lit(0)).alias("purchase"),
+        )
+    )

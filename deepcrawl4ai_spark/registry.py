@@ -868,3 +868,25 @@ _q(
       AND l_quantity < 24
     """,
 )
+
+_q(
+    "a7_rollup_counts",
+    R.a7_rollup_counts,
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY ROLLUP (event_type, day)
+    """,
+)
+
+_q(
+    "a8_pivot_status",
+    R.a8_pivot_status,
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+    FROM events GROUP BY user_id
+    """,
+)
