@@ -76,6 +76,15 @@ class CheckpointStore:
 
         def _write(job: tuple) -> None:
             df, path = job
+            # pinned-thread mode makes job groups per-thread: re-attach the
+            # round's group inside each pool thread so cancel()'s
+            # interruptOnCancel covers commit-phase writes too (and they show
+            # under the round in the Spark UI)
+            df.sparkSession.sparkContext.setJobGroup(
+                f"crawl_round_{round_id}",
+                f"commit round {round_id}",
+                interruptOnCancel=True,
+            )
             if os.path.exists(path):  # idempotent re-run after crash
                 shutil.rmtree(path)
             df.write.mode("overwrite").parquet(path)

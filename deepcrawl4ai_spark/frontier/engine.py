@@ -67,7 +67,10 @@ class EngineConfig:
     max_depth: int = 4
     max_attempts: int = 2
     budget_scale: int = 1  # multiplies per-host robots budgets (bench knob)
-    record_order: bool = True
+    # record_order collects every fetched row's metadata to the driver each
+    # round (the golden-test crawl-order record). Default OFF: at 10^7-row
+    # rounds a forgotten flag is a driver OOM — tests opt in explicitly.
+    record_order: bool = False
     # R1/X1 dynamic rate limit (reference monitor.py:200-238): next round's
     # global budget = max(floor, base * (1 - last_round_error_rate)).
     # Deterministic (metrics-derived); the production controller also folds
@@ -101,52 +104,65 @@ def distributed_limit(
     driver-side merge (which materializes n rows × partitions on the driver —
     the serial bottleneck at 10^5+ budgets).
 
-    Range-partition on the sort key, count per partition (tiny collect),
-    keep whole partitions below the cutoff and row_number-filter only the
-    boundary partition. Exact regardless of sampled boundaries because the
-    sort key is a total order (url_hash unique)."""
+    Strategy: range-partition on the sort key, localCheckpoint the ranged
+    data (repartitionByRange's boundary sampling is nondeterministic across
+    recomputations — counts and boundary contents must come from ONE stable
+    materialization; lost blocks fail loudly instead of silently
+    re-sampling), count per partition (tiny collect), locate the global
+    n-th row's KEY inside the boundary partition, then filter the ORIGINAL
+    df by key ≤ that key. The final selection is key-based, never
+    partition-id-based, so it stays exact even if the upstream plan is later
+    recomputed with different range boundaries. Exact because the sort key
+    (-score, depth, url_hash) is a total order (url_hash unique)."""
     if n <= 20_000:
         return df.orderBy(*_order_cols()).limit(n)
     parts = max(spark.sparkContext.defaultParallelism * 2, 16)
-    # persist the input: repartitionByRange's sampling pass would otherwise
-    # recompute the (expensive) upstream plan a second time
+    # persist the input: the range sampling pass, the count, and the final
+    # key filter would otherwise recompute the (expensive) upstream plan
     df = df.persist()
     if holds is not None:
         holds.append(df)
-    ranged = df.repartitionByRange(parts, *_order_cols()).withColumn(
-        "_pid", F.spark_partition_id()
-    ).persist()
-    if holds is not None:
-        holds.append(ranged)
+    ranged = (
+        df.repartitionByRange(parts, *_order_cols())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     counts = {
         r["_pid"]: r["cnt"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
-    acc = 0
-    keep_whole: list[int] = []
-    boundary: int | None = None
-    boundary_take = 0
+    total = 0
+    target_pid: int | None = None
+    target_rank = 0
     for pid in sorted(counts):
-        if acc + counts[pid] <= n:
-            keep_whole.append(pid)
-            acc += counts[pid]
-        else:
-            boundary = pid
-            boundary_take = n - acc
-            break
-    out = ranged.filter(F.col("_pid").isin(keep_whole)) if keep_whole else None
-    if boundary is not None and boundary_take > 0:
-        w = W.partitionBy("_pid").orderBy(*_order_cols())
-        edge = (
-            ranged.filter(F.col("_pid") == boundary)
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= boundary_take)
-            .drop("_rk")
+        if total < n <= total + counts[pid]:
+            target_pid = pid
+            target_rank = n - total
+        total += counts[pid]
+    if total <= n or target_pid is None:
+        return df  # fewer than n rows — everything is selected
+    # the global n-th row in canonical order = row target_rank of target_pid
+    # (range partitions are ordered by pid along the sort key)
+    w = W.partitionBy("_pid").orderBy(*_order_cols())
+    krow = (
+        ranged.filter(F.col("_pid") == target_pid)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == target_rank)
+        .select("score", "depth", "url_hash")
+        .head()
+    )
+    ks, kd, ku = krow["score"], krow["depth"], krow["url_hash"]
+    # key-based cutoff: (-score, depth, url_hash) ≤ (-ks, kd, ku). Safe to
+    # compare doubles for equality — scores are closed-form int/10000.0.
+    return df.filter(
+        (F.col("score") > F.lit(ks))
+        | ((F.col("score") == F.lit(ks)) & (F.col("depth") < F.lit(kd)))
+        | (
+            (F.col("score") == F.lit(ks))
+            & (F.col("depth") == F.lit(kd))
+            & (F.col("url_hash") <= F.lit(ku))
         )
-        out = edge if out is None else out.unionByName(edge)
-    if out is None:
-        out = ranged.limit(0)
-    return out.drop("_pid")
+    )
 
 
 class CrawlEngine:
@@ -305,8 +321,10 @@ class CrawlEngine:
         else:
             eff = None
             budgets = self.robots_df.select("host", "max_tokens")
+        # fallback for hosts with no robots row scales like every other
+        # budget (the simulator uses 2 * budget_scale, simulator.py:114)
         cand = cand.join(F.broadcast(budgets), "host", "left").withColumn(
-            "budget", F.coalesce(F.col("max_tokens"), F.lit(2))
+            "budget", F.coalesce(F.col("max_tokens"), F.lit(2 * cfg.budget_scale))
         )
 
         # per-host exact top-budget in ONE window pass. The literal rank bound
@@ -387,7 +405,19 @@ class CrawlEngine:
             fetched.unpersist()
             if eff is not None:
                 eff.unpersist()
-            return {"round": r, "urls_popped": 0, "empty": True}, None, None
+            # nothing due THIS round, but retries may be scheduled later
+            # (due_round = r+1+attempt) — report the earliest pending
+            # due_round so run() can skip ahead instead of abandoning them
+            nxt_row = (
+                frontier.filter(F.col("state") == "queued")
+                .agg(F.min("due_round"))
+                .head()
+            )
+            return (
+                {"round": r, "urls_popped": 0, "empty": True, "next_due": nxt_row[0]},
+                None,
+                None,
+            )
 
         succ = fetched.filter(F.col("fetch_status") == "success")
 
@@ -595,17 +625,27 @@ class CrawlEngine:
         out = []
         import time as _time
 
-        for r in range(last + 1, self.cfg.max_rounds):
+        r = last + 1
+        while r < self.cfg.max_rounds:
             if self._cancel:
                 break
             t0 = _time.time()
             m, nf, nflt = self.run_round(r, frontier, filters, self._next_budget(last_metrics))
             if m.get("empty"):
-                break
+                nxt = m.get("next_due")
+                if nxt is None or nxt >= self.cfg.max_rounds:
+                    break  # queue truly drained (or retries past the horizon)
+                # pending retries exist but none are due this round — skip
+                # ahead to the earliest due_round. Idle rounds do nothing
+                # (token refill is per *executed* round — the simulator skips
+                # identically, so parity holds).
+                r = nxt
+                continue
             m["_sec"] = round(_time.time() - t0, 2)
             frontier, filters = nf, nflt
             last_metrics = m
             out.append(m)
             if on_round is not None:
                 on_round(m)
+            r += 1
         return out

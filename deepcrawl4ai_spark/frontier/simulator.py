@@ -16,7 +16,9 @@ Canonical round semantics (round r = 0, 1, …):
   5. outlinks of successes: drop disallowed (robots) + already-seen;
      survivors enter the frontier with depth = min over same-round parents,
      score = url_score(hash), due_round = r + 1, state = queued
-  6. stop when no candidates remain or round limit reached
+  6. when nothing is due this round but retries are pending, skip ahead to
+     the earliest due_round; stop when the queue is empty or the round
+     limit is reached
 
 All politeness is budget arithmetic per round — no wall clock — so replays
 and resume are exact (SURVEY.md R3/R5 rebuild decision).
@@ -39,6 +41,9 @@ class SimConfig:
     adaptive_budget: bool = False
     min_budget: int = 10
     token_bucket: bool = False
+    # no-op: the simulator always records crawl order; the field exists so
+    # tests can share one config dict with EngineConfig (where it's opt-in)
+    record_order: bool = True
 
 
 @dataclass
@@ -92,10 +97,18 @@ def simulate(seed_urls: list[str], cfg: SimConfig | None = None) -> SimResult:
     refills = {h: int(robots[h]["rps_budget"]) * cfg.budget_scale for h in robots}
     tokens = dict(caps)
 
-    for r in range(cfg.max_rounds):
+    r = 0
+    while r < cfg.max_rounds:
         cand = [e for e in frontier.values() if e.state == "queued" and e.due_round <= r]
         if not cand:
-            break
+            # nothing due this round but retries may be scheduled later —
+            # skip ahead to the earliest pending due_round (same rule as
+            # CrawlEngine.run; idle rounds refill no tokens in either)
+            pending = [e.due_round for e in frontier.values() if e.state == "queued"]
+            if not pending or min(pending) >= cfg.max_rounds:
+                break
+            r = min(pending)
+            continue
         # per-host budget
         by_host: dict[str, list[SimEntry]] = {}
         for e in cand:
@@ -189,4 +202,5 @@ def simulate(seed_urls: list[str], cfg: SimConfig | None = None) -> SimResult:
                 "new_frontier": len(new_rows),
             }
         )
+        r += 1
     return res

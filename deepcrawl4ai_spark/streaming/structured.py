@@ -53,7 +53,7 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> list:
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("append" if not stream_df.isStreaming else "append")
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

@@ -11,7 +11,7 @@ from deepcrawl4ai_spark.frontier import webgraph as WG
 from deepcrawl4ai_spark.frontier.engine import CrawlEngine, EngineConfig
 from deepcrawl4ai_spark.frontier.simulator import SimConfig, simulate
 
-CFG = dict(global_budget=80, max_depth=3, max_attempts=2)
+CFG = dict(global_budget=80, max_depth=3, max_attempts=2, record_order=True)
 
 
 def test_adaptive_budget_matches_simulator(spark, tmp_path_factory):
@@ -98,7 +98,7 @@ def test_token_bucket_matches_simulator(spark, tmp_path_factory):
     slower refill); engine equals the simulator exactly, including after a
     resume (host_state is checkpointed)."""
     root = str(tmp_path_factory.mktemp("bucket"))
-    cfg = dict(global_budget=120, max_depth=3, max_attempts=2)
+    cfg = dict(global_budget=120, max_depth=3, max_attempts=2, record_order=True)
     eng = CrawlEngine(
         spark, root, EngineConfig(max_rounds=2, token_bucket=True, **cfg)
     )
@@ -122,6 +122,41 @@ def test_token_bucket_matches_simulator(spark, tmp_path_factory):
     assert [m["urls_popped"] for m in sim.round_metrics] != [
         m["urls_popped"] for m in nobucket.round_metrics
     ]
+
+
+def _failing_url() -> str:
+    """First page in the synthetic universe whose fetch deterministically
+    fails (webgraph: sha1 int % 37 == 0)."""
+    for hi in range(len(WG.hosts())):
+        for pj in range(WG.host_pages()[hi]):
+            u = WG.page_url(hi, pj)
+            if WG.fetch_page(u).fetch_status == "failed":
+                return u
+    raise AssertionError("no failing URL in universe")
+
+
+def test_pending_retries_not_abandoned(spark, tmp_path_factory):
+    """A round with zero due candidates but queued retries must skip ahead to
+    the earliest due_round, not terminate (ADVICE r1 #1). Single failing
+    seed: round 0 fails (retry due at round 2), round 1 is empty, round 2
+    retries and exhausts max_attempts — no URL is left queued."""
+    from deepcrawl4ai_spark.frontier.simulator import SimConfig, simulate
+
+    url = _failing_url()
+    sim = simulate([url], SimConfig(max_rounds=5, **CFG))
+    assert [m["round"] for m in sim.round_metrics] == [0, 2]  # gap skipped
+
+    root = str(tmp_path_factory.mktemp("retrygap"))
+    eng = CrawlEngine(spark, root, EngineConfig(max_rounds=5, **CFG))
+    metrics = eng.run([url])
+    assert [m["round"] for m in metrics] == [0, 2]
+    for i, m in enumerate(metrics):
+        assert m["crawl_order"] == sim.crawl_order[i]
+        assert m["urls_failed"] == sim.round_metrics[i]["urls_failed"]
+    frontier = eng.store.read(spark, "frontier")
+    states = {r["url_hash"]: r["state"] for r in frontier.collect()}
+    assert states == {h: e.state for h, e in sim.frontier.items()}
+    assert "queued" not in states.values()  # nothing abandoned
 
 
 def test_crash_between_data_write_and_pointer_flip(spark, tmp_path_factory):

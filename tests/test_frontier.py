@@ -12,7 +12,7 @@ from deepcrawl4ai_spark.frontier.simulator import SimConfig, simulate
 
 N_SEEDS = 48
 ROUNDS = 3
-CFG = dict(global_budget=150, max_depth=3, max_attempts=2)
+CFG = dict(global_budget=150, max_depth=3, max_attempts=2, record_order=True)
 
 
 @pytest.fixture(scope="module")
