@@ -1,18 +1,35 @@
-"""Partitioned Bloom-filter URL-seen set (north_rule; SURVEY.md J3).
+"""Partitioned, size-adaptive Bloom-filter URL-seen set (north_rule; SURVEY.md J3).
 
 The reference has no explicit visited-set (it leans on crawl4ai CacheMode,
 reference tasks.py:182) — here it is a first-class, checkpointable table:
-one numpy bit-array per partition_id = int(url_hash[:4], 16) % P, built and
+numpy bit-arrays per partition_id = int(url_hash[:4], 16) % P, built and
 merged with applyInPandas (vectorized, no per-row Python API), OR-merged
 across rounds (associative + idempotent → safe under task retries).
 
+Sizing is data-driven, not fixed (ADVICE r1: a fixed 2 MiB filter saturates
+to FPR≈1 at 10^10 URLs):
+
+- every filter row carries its own ``m_bits``; ``build_filters`` sizes each
+  partition at BITS_PER_ITEM (10) bits per inserted item (k=4 → ~1.2% FPR at
+  full load), floored at MIN_BITS.
+- ``add_to_filters`` absorbs new hashes into the newest generation while its
+  item capacity (m_bits / BITS_PER_ITEM) holds, then spills into a NEW
+  generation with geometrically larger m — a scalable-Bloom-filter layout
+  where membership = OR across generations (rows) of a partition.
+- the engine periodically REBUILDS the whole table from the append-only
+  seen_hashes log (engine.run) once the seen-set has grown ≥4× past the
+  last build, collapsing generations back to one right-sized filter per
+  partition. Rebuilds are O(log N) over a crawl's lifetime.
+
 Membership is a *prefilter*: "definitely new" rows skip the exact anti-join
-entirely; only maybe-seen rows pay for it. At 10^10 URLs with ~1% FPR the
-anti-join input shrinks by ~99% for genuinely-new links, while correctness
-is never bloom-dependent.
+entirely; only maybe-seen rows pay for it. Correctness is never
+bloom-dependent — a saturated filter only costs extra anti-join work.
 """
 
 from __future__ import annotations
+
+import math
+import os as _os
 
 import numpy as np
 import pandas as pd
@@ -21,14 +38,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 N_PARTITIONS = 128  # also the bloom stage's max parallelism
-M_BITS = 1 << 17  # bits per partition (16 KiB each; 2 MiB total state)
 K_HASHES = 4
+BITS_PER_ITEM = 10  # m/n at build time → ~1.2% FPR with k=4 at full load
+# floor per generation; env-tunable so tests can force generation spills
+MIN_BITS = int(_os.environ.get("CRAWL_BLOOM_MIN_BITS", str(1 << 17)))
+# storage buckets for the append-only seen_hashes log (must divide
+# N_PARTITIONS): the exact-rescue anti-join prunes to the buckets actually
+# present among maybe-seen candidates instead of scanning the whole log
+SEEN_BUCKETS = int(_os.environ.get("CRAWL_SEEN_BUCKETS", "16"))
 
 FILTER_SCHEMA = T.StructType(
     [
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("filter_kind", T.StringType(), False),
         T.StructField("bits", T.BinaryType(), False),
+        T.StructField("m_bits", T.LongType(), False),
         T.StructField("n_items", T.LongType(), False),
         T.StructField("round", T.IntegerType(), False),
     ]
@@ -42,33 +66,64 @@ def partition_id_col(url_hash_col):
     )
 
 
-def _bit_positions(url_hashes: pd.Series) -> np.ndarray:
+def seen_bucket_col(url_hash_col):
+    """Storage-bucket column for seen_hashes (coarsening of partition_id)."""
+    return (partition_id_col(url_hash_col) % SEEN_BUCKETS).alias("bucket")
+
+
+def size_for(n_items: int, min_bits: int | None = None) -> int:
+    """Bits for *n_items* at BITS_PER_ITEM, next power of two, ≥ min_bits
+    (default MIN_BITS)."""
+    floor = MIN_BITS if min_bits is None else min_bits
+    want = max(int(n_items) * BITS_PER_ITEM, floor)
+    return 1 << (want - 1).bit_length()
+
+
+def est_fpr(n_items: int, m_bits: int, k: int = K_HASHES) -> float:
+    """Classic Bloom FPR estimate (1 - e^(-kn/m))^k."""
+    if m_bits <= 0:
+        return 1.0
+    return (1.0 - math.exp(-k * n_items / m_bits)) ** k
+
+
+def _bit_positions(url_hashes: pd.Series, m_bits: int) -> np.ndarray:
     """(n, K) bit positions via double hashing of the sha1 hex — vectorized."""
     h1 = np.array([int(h[:8], 16) for h in url_hashes], dtype=np.uint64)
     h2 = np.array([int(h[8:16], 16) | 1 for h in url_hashes], dtype=np.uint64)
     i = np.arange(K_HASHES, dtype=np.uint64)[None, :]
-    return ((h1[:, None] + i * h2[:, None]) % np.uint64(M_BITS)).astype(np.int64)
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def _set_bits(bits: np.ndarray, url_hashes: pd.Series, m_bits: int) -> None:
+    pos = _bit_positions(url_hashes, m_bits).ravel()
+    np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+
+
+def _gen_row(pid: int, bits: np.ndarray, m: int, n: int, round_id: int) -> dict:
+    return {
+        "partition_id": pid,
+        "filter_kind": "bloom",
+        "bits": bits.tobytes(),
+        "m_bits": m,
+        "n_items": n,
+        "round": round_id,
+    }
 
 
 def build_filters(hashes_df: DataFrame, round_id: int) -> DataFrame:
-    """Build per-partition bloom rows from a DataFrame with a url_hash column."""
+    """Build per-partition bloom rows sized from the ACTUAL item count of each
+    partition (one generation per partition)."""
     with_pid = hashes_df.select(
         "url_hash", partition_id_col(F.col("url_hash")).alias("partition_id")
     )
+    min_bits = MIN_BITS  # captured by value — driver config wins on workers
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = np.zeros(M_BITS // 8, dtype=np.uint8)
-        pos = _bit_positions(pdf["url_hash"])
-        flat = pos.ravel()
-        np.bitwise_or.at(bits, flat // 8, (1 << (flat % 8)).astype(np.uint8))
+        m = size_for(len(pdf), min_bits)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        _set_bits(bits, pdf["url_hash"], m)
         return pd.DataFrame(
-            {
-                "partition_id": [int(pdf["partition_id"].iloc[0])],
-                "filter_kind": ["bloom"],
-                "bits": [bits.tobytes()],
-                "n_items": [len(pdf)],
-                "round": [round_id],
-            }
+            [_gen_row(int(pdf["partition_id"].iloc[0]), bits, m, len(pdf), round_id)]
         )
 
     return with_pid.groupBy("partition_id").applyInPandas(_build, FILTER_SCHEMA)
@@ -76,35 +131,42 @@ def build_filters(hashes_df: DataFrame, round_id: int) -> DataFrame:
 
 def add_to_filters(filters: DataFrame, hashes_df: DataFrame, round_id: int) -> DataFrame:
     """ONE cogrouped pass: OR the new url_hashes into the existing filters.
-    Replaces build_filters + merge_filters in the round hot path (one Python
-    stage instead of two)."""
+
+    Scalable-Bloom behavior per partition: absorb into the newest (largest)
+    generation while its capacity holds; otherwise spill the batch into a new
+    generation with m = max(size_for(batch), 2 × newest m). Older generations
+    pass through untouched."""
     hashed = hashes_df.select(
         "url_hash", partition_id_col(F.col("url_hash")).alias("partition_id")
     )
+    min_bits = MIN_BITS  # captured by value — driver config wins on workers
 
     def _absorb(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # left = existing filter rows (≤1 per partition), right = new hashes
+        # left = existing filter rows (≥0 generations), right = new hashes
         if left.empty:
-            bits = np.zeros(M_BITS // 8, dtype=np.uint8)
-            n = 0
             pid = int(right["partition_id"].iloc[0])
+            m = size_for(len(right), min_bits)
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            _set_bits(bits, right["url_hash"], m)
+            return pd.DataFrame([_gen_row(pid, bits, m, len(right), round_id)])
+        pid = int(left["partition_id"].iloc[0])
+        gens = left.sort_values("m_bits").to_dict("records")
+        out = [dict(g, round=round_id) for g in gens]
+        if right.empty:
+            return pd.DataFrame(out)
+        newest = out[-1]
+        capacity = newest["m_bits"] // BITS_PER_ITEM
+        if newest["n_items"] + len(right) <= capacity:
+            bits = np.frombuffer(newest["bits"], dtype=np.uint8).copy()
+            _set_bits(bits, right["url_hash"], int(newest["m_bits"]))
+            newest["bits"] = bits.tobytes()
+            newest["n_items"] = int(newest["n_items"]) + len(right)
         else:
-            bits = np.frombuffer(left["bits"].iloc[0], dtype=np.uint8).copy()
-            n = int(left["n_items"].iloc[0])
-            pid = int(left["partition_id"].iloc[0])
-        if not right.empty:
-            pos = _bit_positions(right["url_hash"]).ravel()
-            np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
-            n += len(right)
-        return pd.DataFrame(
-            {
-                "partition_id": [pid],
-                "filter_kind": ["bloom"],
-                "bits": [bits.tobytes()],
-                "n_items": [n],
-                "round": [round_id],
-            }
-        )
+            m = max(size_for(len(right), min_bits), 2 * int(newest["m_bits"]))
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            _set_bits(bits, right["url_hash"], m)
+            out.append(_gen_row(pid, bits, m, len(right), round_id))
+        return pd.DataFrame(out)
 
     return (
         filters.groupBy("partition_id")
@@ -114,31 +176,37 @@ def add_to_filters(filters: DataFrame, hashes_df: DataFrame, round_id: int) -> D
 
 
 def merge_filters(existing: DataFrame, new: DataFrame, round_id: int) -> DataFrame:
-    """OR-merge two filter tables (associative, idempotent)."""
+    """OR-merge two filter tables (associative, idempotent). Generations are
+    identified by (partition_id, m_bits) — same-size filters share the hash
+    family, so their OR is a valid union filter."""
     both = existing.unionByName(new)
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = np.zeros(M_BITS // 8, dtype=np.uint8)
+        m = int(pdf["m_bits"].iloc[0])
+        acc = np.zeros(m // 8, dtype=np.uint8)
         for b in pdf["bits"]:
             acc |= np.frombuffer(b, dtype=np.uint8)
         return pd.DataFrame(
-            {
-                "partition_id": [int(pdf["partition_id"].iloc[0])],
-                "filter_kind": ["bloom"],
-                "bits": [acc.tobytes()],
-                "n_items": [int(pdf["n_items"].sum())],
-                "round": [round_id],
-            }
+            [
+                _gen_row(
+                    int(pdf["partition_id"].iloc[0]),
+                    acc,
+                    m,
+                    int(pdf["n_items"].sum()),
+                    round_id,
+                )
+            ]
         )
 
-    return both.groupBy("partition_id").applyInPandas(_merge, FILTER_SCHEMA)
+    return both.groupBy("partition_id", "m_bits").applyInPandas(_merge, FILTER_SCHEMA)
 
 
 def maybe_seen(candidates: DataFrame, filters: DataFrame) -> DataFrame:
     """Adds a boolean ``maybe_seen`` to *candidates* (url_hash column required).
 
     Cogrouped applyInPandas on partition_id — the filter bits travel once per
-    partition, never once per row."""
+    partition, never once per row. A row is maybe-seen if ANY generation of
+    its partition reports all k bits set."""
     cand = candidates.withColumn(
         "partition_id", partition_id_col(F.col("url_hash"))
     )
@@ -150,15 +218,18 @@ def maybe_seen(candidates: DataFrame, filters: DataFrame) -> DataFrame:
     def _test(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
             return pd.DataFrame(columns=cols + ["maybe_seen"])
+        left = left.copy()
         if right.empty:
-            left = left.copy()
             left["maybe_seen"] = False
             return left
-        bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
-        pos = _bit_positions(left["url_hash"])
-        hit = (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
-        left = left.copy()
-        left["maybe_seen"] = hit.all(axis=1)
+        hit_any = np.zeros(len(left), dtype=bool)
+        # ≤ a handful of generation rows — the per-ROW work stays vectorized
+        for gen_bits, gen_m in zip(right["bits"], right["m_bits"]):
+            bits = np.frombuffer(gen_bits, dtype=np.uint8)
+            pos = _bit_positions(left["url_hash"], int(gen_m))
+            hit = (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+            hit_any |= hit.all(axis=1)
+        left["maybe_seen"] = hit_any
         return left
 
     return (
@@ -166,3 +237,25 @@ def maybe_seen(candidates: DataFrame, filters: DataFrame) -> DataFrame:
         .cogroup(filters.groupBy("partition_id"))
         .applyInPandas(_test, out_schema)
     )
+
+
+def filter_stats(filters: DataFrame) -> dict:
+    """Tiny driver-side summary (bits never collected): total items/bits,
+    generation count, and the combined false-positive estimate
+    1 - Π(1 - fpr_gen), averaged over partitions."""
+    rows = filters.select("partition_id", "m_bits", "n_items").collect()
+    per_part: dict[int, float] = {}
+    for r in rows:
+        keep = per_part.get(r["partition_id"], 1.0)
+        per_part[r["partition_id"]] = keep * (1.0 - est_fpr(r["n_items"], r["m_bits"]))
+    combined = (
+        sum(1.0 - keep for keep in per_part.values()) / len(per_part)
+        if per_part
+        else 0.0
+    )
+    return {
+        "n_items": int(sum(r["n_items"] for r in rows)),
+        "m_bits": int(sum(r["m_bits"] for r in rows)),
+        "generations": len(rows),
+        "est_fpr": round(combined, 6),
+    }

@@ -27,6 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 # fetched docs). 'frontier' is a logical view = active ∪ done.
 OVERWRITE_TABLES = ("active", "seen_filter", "host_state")
 APPEND_TABLES = ("results", "done", "seen_hashes")
+# storage-partitioned tables (hive-style dirs): readers filtering on the
+# partition column scan only the matching buckets — the seen_hashes
+# exact-rescue anti-join prunes to the buckets present in this round's
+# maybe-seen candidates (Iceberg analog: bucket(url_hash) partition spec)
+PARTITIONED_TABLES = {"seen_hashes": "bucket"}
 
 
 class CheckpointStore:
@@ -68,14 +73,14 @@ class CheckpointStore:
         for name, df in overwrite.items():
             path = self._data_dir(name, round_id)
             tables[name] = [path]
-            jobs.append((df, path))
+            jobs.append((name, df, path))
         for name, df in append.items():
             path = self._data_dir(name, round_id)
             tables[name] = list(prev["tables"].get(name, [])) + [path]
-            jobs.append((df, path))
+            jobs.append((name, df, path))
 
         def _write(job: tuple) -> None:
-            df, path = job
+            name, df, path = job
             # pinned-thread mode makes job groups per-thread: re-attach the
             # round's group inside each pool thread so cancel()'s
             # interruptOnCancel covers commit-phase writes too (and they show
@@ -87,7 +92,20 @@ class CheckpointStore:
             )
             if os.path.exists(path):  # idempotent re-run after crash
                 shutil.rmtree(path)
-            df.write.mode("overwrite").parquet(path)
+            pcol = PARTITIONED_TABLES.get(name)
+            if pcol is not None and pcol in df.columns and not df.isEmpty():
+                # cluster rows by the partition value first so each bucket
+                # gets O(1) files per round, not one per upstream task.
+                # (empty rounds fall through to a plain write: a partitioned
+                # write of 0 rows leaves a schema-less dir that can't be read
+                # back; isEmpty is cheap — the df is persisted upstream)
+                from pyspark.sql import functions as F
+
+                df.repartition(F.col(pcol)).write.mode("overwrite").partitionBy(
+                    pcol
+                ).parquet(path)
+            else:
+                df.write.mode("overwrite").parquet(path)
 
         # the data writes are independent jobs — submit them concurrently
         # (Spark schedules them in parallel); the manifest flip below is the
@@ -148,7 +166,17 @@ class CheckpointStore:
             return active.unionByName(done)
         if table not in snap["tables"]:
             return None
-        return spark.read.parquet(*snap["tables"][table])
+        paths = snap["tables"][table]
+        if table in PARTITIONED_TABLES and len(paths) > 1:
+            # each round dir is its own hive-partitioned root — read them
+            # separately and union (a single multi-path read trips partition
+            # discovery across sibling roots); bucket filters still prune
+            # files inside every branch
+            out = spark.read.parquet(paths[0])
+            for p in paths[1:]:
+                out = out.unionByName(spark.read.parquet(p), allowMissingColumns=True)
+            return out
+        return spark.read.parquet(*paths)
 
     def expire_snapshots(self, keep_last: int = 3) -> list[int]:
         """TTL cleanup (reference should_cleanup_task, utils.py:156-159;

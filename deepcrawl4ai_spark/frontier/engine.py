@@ -215,7 +215,9 @@ class CrawlEngine:
             append={
                 "results": results,
                 "done": empty_done,
-                "seen_hashes": frontier.select("url_hash"),
+                "seen_hashes": frontier.select(
+                    "url_hash", bloom.seen_bucket_col(F.col("url_hash"))
+                ),
             },
             metrics={"round": -1, "seeded": len(rows)},
         )
@@ -227,7 +229,8 @@ class CrawlEngine:
         Idempotent like submit_seeds."""
         if self.store.last_round() is not None:
             return
-        frontier = frontier.select(*FRONTIER_COLS)
+        frontier = frontier.select(*FRONTIER_COLS).persist()
+        n_seeds = frontier.count()  # once, at seed time — sizes the filters
         filters = bloom.build_filters(frontier.select("url_hash"), -1)
         results = self.spark.createDataFrame([], self._results_schema())
         empty_done = self.spark.createDataFrame([], self._frontier_schema())
@@ -237,10 +240,13 @@ class CrawlEngine:
             append={
                 "results": results,
                 "done": empty_done,
-                "seen_hashes": frontier.select("url_hash"),
+                "seen_hashes": frontier.select(
+                    "url_hash", bloom.seen_bucket_col(F.col("url_hash"))
+                ),
             },
-            metrics={"round": -1, "seeded": -1},
+            metrics={"round": -1, "seeded": n_seeds},
         )
+        frontier.unpersist()
 
     @staticmethod
     def _frontier_schema() -> str:
@@ -273,6 +279,7 @@ class CrawlEngine:
         frontier: DataFrame,
         filters: DataFrame,
         budget: int | None = None,
+        extra_metrics: dict | None = None,
     ) -> tuple[dict, DataFrame | None, DataFrame | None]:
         cfg = self.cfg
         round_budget = budget if budget is not None else cfg.global_budget
@@ -451,14 +458,32 @@ class CrawlEngine:
         # persist: both branches (definitely-new + rescue) read this once,
         # not recompute the whole explode→groupBy→cogroup chain each
         flagged = bloom.maybe_seen(batch, filters).persist()
-        seen_hashes = self.store.read(self.spark, "seen_hashes")
-        new_rows = (
-            flagged.filter(~F.col("maybe_seen"))
-            .unionByName(
-                flagged.filter(F.col("maybe_seen")).join(
-                    seen_hashes, "url_hash", "left_anti"
-                )
+        # exact-rescue anti-join, PARTITION-PRUNED: only the storage buckets
+        # actually present among maybe-seen candidates are read from the
+        # append-only seen_hashes log (tiny distinct-collect over the
+        # persisted flagged set; at 10^10 hashes this is the difference
+        # between scanning the whole log and a few buckets per round)
+        maybe = flagged.filter(F.col("maybe_seen"))
+        buckets = [
+            r[0]
+            for r in maybe.select(
+                (F.col("partition_id") % bloom.SEEN_BUCKETS).alias("b")
             )
+            .distinct()
+            .collect()
+        ]
+        if buckets:
+            seen_hashes = self.store.read(self.spark, "seen_hashes")
+            if "bucket" in seen_hashes.columns and len(buckets) < bloom.SEEN_BUCKETS:
+                seen_hashes = seen_hashes.filter(F.col("bucket").isin(buckets))
+            rescued = maybe.join(
+                seen_hashes.select("url_hash"), "url_hash", "left_anti"
+            )
+            new_src = flagged.filter(~F.col("maybe_seen")).unionByName(rescued)
+        else:  # bloom says every candidate is definitely new — no log scan
+            new_src = flagged.filter(~F.col("maybe_seen"))
+        new_rows = (
+            new_src
             .select(
                 "url_norm",
                 "url_hash",
@@ -548,6 +573,8 @@ class CrawlEngine:
         }
         if order_record is not None:
             metrics["crawl_order"] = order_record
+        if extra_metrics:
+            metrics.update(extra_metrics)
 
         metrics["state"] = "committed"
         overwrite = {"active": new_active, "seen_filter": new_filters}
@@ -567,18 +594,26 @@ class CrawlEngine:
             append={
                 "results": results,
                 "done": done_rows,
-                "seen_hashes": new_rows.select("url_hash"),
+                "seen_hashes": new_rows.select(
+                    "url_hash", bloom.seen_bucket_col(F.col("url_hash"))
+                ),
             },
             metrics=metrics,
         )
         _mark("commit")
-        if _profile:
-            metrics["_phases"] = _phases
-            print(f"[profile] round {r}: {_phases}", flush=True)
         # carry the just-written snapshot (lazy read-back: truncates lineage
         # without recomputing the plan a second time)
         carried_frontier = self.store.read(self.spark, "active")
         carried_filters = self.store.read(self.spark, "seen_filter")
+        if _profile:
+            metrics["_phases"] = _phases
+            # effective seen-filter state: items, bits, generations, FPR —
+            # the round-over-round saturation signal (ADVICE r1: log it)
+            metrics["bloom"] = bloom.filter_stats(carried_filters)
+            print(
+                f"[profile] round {r}: {_phases} bloom={metrics['bloom']}",
+                flush=True,
+            )
         fetched.unpersist()
         flagged.unpersist()
         new_rows.unpersist()
@@ -622,6 +657,20 @@ class CrawlEngine:
         # resume picks up the controller state from the last committed round
         committed = self.store.round_metrics()
         last_metrics = committed[-1] if committed else None
+        # bloom sizing state: total seen-set size + size at the last
+        # (re)build — pure driver arithmetic over committed metrics, no jobs
+        seen_total = 0
+        built_n = 0
+        for m0 in committed:
+            if m0.get("round", -1) < 0:
+                seen_total = max(m0.get("seeded") or 0, 0)
+                built_n = seen_total
+            else:
+                seen_total += m0.get("new_frontier", 0) or 0
+                built_n = m0.get("bloom_built_n", built_n)
+        # below this the initial MIN_BITS floor still has headroom — never
+        # rebuild inside it
+        rebuild_floor = bloom.N_PARTITIONS * bloom.MIN_BITS // bloom.BITS_PER_ITEM
         out = []
         import time as _time
 
@@ -630,7 +679,22 @@ class CrawlEngine:
             if self._cancel:
                 break
             t0 = _time.time()
-            m, nf, nflt = self.run_round(r, frontier, filters, self._next_budget(last_metrics))
+            if seen_total > max(4 * built_n, rebuild_floor):
+                # the seen-set outgrew the last build: collapse generations
+                # into one right-sized filter per partition, rebuilt from the
+                # append-only seen_hashes log (happens O(log N) times over a
+                # crawl's lifetime; persisted with this round's commit)
+                filters = bloom.build_filters(
+                    self.store.read(self.spark, "seen_hashes").select("url_hash"), r
+                )
+                built_n = seen_total
+            m, nf, nflt = self.run_round(
+                r,
+                frontier,
+                filters,
+                self._next_budget(last_metrics),
+                extra_metrics={"bloom_built_n": built_n},
+            )
             if m.get("empty"):
                 nxt = m.get("next_due")
                 if nxt is None or nxt >= self.cfg.max_rounds:
@@ -644,6 +708,7 @@ class CrawlEngine:
             m["_sec"] = round(_time.time() - t0, 2)
             frontier, filters = nf, nflt
             last_metrics = m
+            seen_total += m.get("new_frontier", 0) or 0
             out.append(m)
             if on_round is not None:
                 on_round(m)

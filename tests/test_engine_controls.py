@@ -124,6 +124,26 @@ def test_token_bucket_matches_simulator(spark, tmp_path_factory):
     ]
 
 
+def test_bloom_rebuild_keeps_golden_parity(spark, tmp_path_factory, monkeypatch):
+    """With a tiny bloom floor the seen-set outgrows the filter fast: the
+    engine must spill generations and trigger the log-rebuild path while
+    still matching the simulator exactly (correctness never bloom-dependent)."""
+    from deepcrawl4ai_spark.frontier import bloom
+    from deepcrawl4ai_spark.frontier.simulator import SimConfig, simulate
+
+    monkeypatch.setattr(bloom, "MIN_BITS", 16)  # rebuild floor: ~204 items
+    cfg = dict(global_budget=150, max_depth=3, max_attempts=2, record_order=True)
+    sim = simulate(WG.gen_seeds(48), SimConfig(max_rounds=3, **cfg))
+    root = str(tmp_path_factory.mktemp("rebuild"))
+    eng = CrawlEngine(spark, root, EngineConfig(max_rounds=3, **cfg))
+    metrics = eng.run(WG.gen_seeds(48))
+    assert any(m.get("bloom_built_n", 0) > 48 for m in metrics), "no rebuild ran"
+    assert len(metrics) == len(sim.round_metrics)
+    for i, m in enumerate(metrics):
+        assert m["crawl_order"] == sim.crawl_order[i], f"round {i}"
+        assert m["new_frontier"] == sim.round_metrics[i]["new_frontier"]
+
+
 def _failing_url() -> str:
     """First page in the synthetic universe whose fetch deterministically
     fails (webgraph: sha1 int % 37 == 0)."""
