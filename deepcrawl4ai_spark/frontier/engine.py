@@ -77,6 +77,12 @@ class EngineConfig:
     # in cpu/mem gauges, which are non-replayable and stay out of tests.
     adaptive_budget: bool = False
     min_budget: int = 10
+    # A3/R7 health gate (reference monitor.py:175-238 + scrape.py:12-31 gate
+    # admission on cpu/mem/error): optional driver-side callable returning
+    # (cpu_frac, mem_frac) in [0,1]; the next round's budget factor becomes
+    # min(1-cpu, 1-mem, 1-err). Gauges are non-replayable by nature — leave
+    # None (off) for golden tests and deterministic replays.
+    health_gauges: object | None = None
     # R3/R4 token bucket (reference TokenBucket, redisCache.py:85-89): when
     # on, a host's round budget is min(capacity, tokens + refill) with the
     # balance carried in a checkpointed host_state table; refill =
@@ -638,12 +644,19 @@ class CrawlEngine:
             pass
 
     def _next_budget(self, last_metrics: dict | None) -> int:
-        """R1/X1 controller: base * (1 - error_rate), floored."""
-        if not self.cfg.adaptive_budget or not last_metrics:
+        """R1/X1/R7 controller: budget = base * min(1-err, 1-cpu, 1-mem),
+        floored (reference monitor.py:200-238)."""
+        factor = 1.0
+        if self.cfg.adaptive_budget and last_metrics:
+            popped = last_metrics.get("urls_popped", 0)
+            err = (last_metrics.get("urls_failed", 0) / popped) if popped else 0.0
+            factor = 1.0 - err
+        if self.cfg.health_gauges is not None:
+            cpu, mem = self.cfg.health_gauges()
+            factor = min(factor, 1.0 - cpu, 1.0 - mem)
+        if factor >= 1.0:
             return self.cfg.global_budget
-        popped = last_metrics.get("urls_popped", 0)
-        err = (last_metrics.get("urls_failed", 0) / popped) if popped else 0.0
-        return max(self.cfg.min_budget, int(self.cfg.global_budget * (1.0 - err)))
+        return max(self.cfg.min_budget, int(self.cfg.global_budget * factor))
 
     def run(self, seed_urls: list[str] | None = None, on_round=None) -> list[dict]:
         if seed_urls is not None:

@@ -38,20 +38,66 @@ FETCH_SCHEMA = T.StructType(
     ]
 )
 
-# executor-local "session pool" (reference crawler_pool.py get-or-create
-# under config-signature key) — here it just counts reuse, proving the
-# pattern; a real fetcher would hold aiohttp sessions per config_sig.
-_SESSION_POOL: dict[str, int] = {}
-
-
 # Deterministic per-page CPU work simulating realistic fetch+parse cost
 # (the reference's per-page browser work is seconds; html→markdown alone is
 # ms-scale). 0 = off. Calibrated: ~2500 pbkdf2-sha256 iters ≈ 1 ms.
 import hashlib as _hashlib
+import itertools as _itertools
 import os as _os
+from dataclasses import dataclass
 
 _FETCH_WORK_MS = float(_os.environ.get("CRAWL_FETCH_WORK_MS", "0"))
 _ITERS_PER_MS = 2500
+
+
+# --- executor-local session pool (F7) ----------------------------------------
+# Reference crawler_pool.py:25-49: get-or-create a browser/client under a
+# config-signature key; :52-74: a janitor evicts sessions idle past a TTL.
+# Here the "session" is a synthetic handle (the sandbox web is closed-form);
+# on a real cluster it holds an aiohttp/playwright client. The pool lives at
+# module level — once per executor PYTHON PROCESS, reused across batches and
+# jobs. Idle time is measured in pool accesses (a deterministic logical
+# clock), not wall time, so tests and replays are exact.
+
+SESSION_IDLE_TTL = int(_os.environ.get("CRAWL_SESSION_TTL_ACCESSES", "512"))
+
+
+@dataclass
+class FetchSession:
+    config_sig: str
+    created_at: int
+    last_used: int = 0
+    n_uses: int = 0
+    closed: bool = False
+
+    def close(self) -> None:  # real impl: await client.close()
+        self.closed = True
+
+
+_SESSION_POOL: dict[str, FetchSession] = {}
+_POOL_CLOCK = _itertools.count(1)
+
+
+def get_session(config_sig: str = "default") -> FetchSession:
+    """Get-or-create the executor-local session for *config_sig*; evict (and
+    close) any session idle for more than SESSION_IDLE_TTL accesses."""
+    now = next(_POOL_CLOCK)
+    sess = _SESSION_POOL.get(config_sig)
+    if sess is None or sess.closed:
+        sess = FetchSession(config_sig=config_sig, created_at=now)
+        _SESSION_POOL[config_sig] = sess
+    sess.n_uses += 1
+    sess.last_used = now
+    for key, s in list(_SESSION_POOL.items()):
+        if key != config_sig and now - s.last_used > SESSION_IDLE_TTL:
+            s.close()
+            del _SESSION_POOL[key]
+    return sess
+
+
+def pool_reset() -> None:
+    """Test hook: drop all pooled sessions."""
+    _SESSION_POOL.clear()
 
 
 def fetch_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -59,7 +105,7 @@ def fetch_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
-    _SESSION_POOL["default"] = _SESSION_POOL.get("default", 0) + 1
+    get_session("default")  # session reuse across batches within the worker
     work_iters = int(_FETCH_WORK_MS * _ITERS_PER_MS)
     for pdf in batches:
         spans_col, links_col, status_col = [], [], []

@@ -121,9 +121,16 @@ def url_slug(url: str) -> str:
 
 @F.pandas_udf(T.StringType())
 def normalize_urls_udf(urls: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # memoize across the task's batches — crawl frontiers repeat URLs heavily
+    # (same idiom as host_hash_udf); bounded so a pathological task can't
+    # hold the whole input in the cache
+    cache: dict[str, str] = {}
     for batch in urls:
-        # memoize within the batch — crawl frontiers repeat hosts/URLs heavily
-        yield batch.map(normalize_url)
+        if len(cache) > (1 << 20):
+            cache.clear()
+        yield batch.map(
+            lambda u: cache.setdefault(u, normalize_url(u)) if u is not None else None
+        )
 
 
 @F.pandas_udf(T.StringType())

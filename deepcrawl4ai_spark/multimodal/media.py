@@ -123,14 +123,13 @@ def resize_images(media: DataFrame, max_side: int = 32, decode_stub: bool = True
                 raise NotImplementedError("real resize requires PIL")
             out = pdf.copy()
             out["payload"] = out["payload"].map(lambda b: bytes(b)[: max_side * 8])
-            out["meta"] = out.apply(
-                lambda row: {
-                    "width": min(row["meta"]["width"] or 0, max_side),
-                    "height": min(row["meta"]["height"] or 0, max_side),
-                    "duration_s": row["meta"]["duration_s"],
-                    "codec": row["meta"]["codec"],
-                },
-                axis=1,
+            out["meta"] = out["meta"].map(
+                lambda m: {
+                    "width": min(m["width"] or 0, max_side),
+                    "height": min(m["height"] or 0, max_side),
+                    "duration_s": m["duration_s"],
+                    "codec": m["codec"],
+                }
             )
             yield out
 
@@ -152,18 +151,27 @@ def sample_frames(media: DataFrame, every_s: float = 1.0, decode_stub: bool = Tr
         for pdf in batches:
             if not decode_stub:
                 raise NotImplementedError("real frame sampling requires ffmpeg")
-            refs, idxs, ts, frames = [], [], [], []
-            for _, row in pdf.iterrows():
-                dur = row["meta"]["duration_s"] or 0.0
-                n = max(1, int(dur / every_s))
-                payload = bytes(row["payload"])
-                for k in range(n):
-                    refs.append(row["media_ref"])
-                    idxs.append(k)
-                    ts.append(k * every_s)
-                    frames.append(hashlib.sha1(payload + k.to_bytes(4, "big")).digest())
+            if pdf.empty:
+                continue
+            # fan-out vectorized with np.repeat — no per-row iteration over
+            # the batch; only the per-FRAME hash stays a Python loop (that is
+            # where a real decoder call would sit anyway)
+            durs = pdf["meta"].map(lambda m: m["duration_s"] or 0.0).to_numpy()
+            ns = np.maximum(1, (durs / every_s).astype(np.int64))
+            refs = np.repeat(pdf["media_ref"].to_numpy(), ns)
+            payloads = np.repeat(pdf["payload"].map(bytes).to_numpy(dtype=object), ns)
+            idxs = np.concatenate([np.arange(n) for n in ns])
+            frames = [
+                hashlib.sha1(p + int(k).to_bytes(4, "big")).digest()
+                for p, k in zip(payloads, idxs)
+            ]
             yield pd.DataFrame(
-                {"media_ref": refs, "frame_idx": idxs, "t_s": ts, "frame": frames}
+                {
+                    "media_ref": refs,
+                    "frame_idx": idxs.astype(np.int32),
+                    "t_s": idxs * every_s,
+                    "frame": frames,
+                }
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(_sample, schema)
@@ -181,30 +189,59 @@ EXTRACT_SCHEMA = T.StructType(
 )
 
 
+def chunk_text(text: str | None, chunk_chars: int = 1200, overlap: float = 0.1) -> list[str]:
+    """Overlapping windows (reference crawl.py:355-366 chunks with 0.1
+    overlap): consecutive chunks share chunk_chars*overlap characters."""
+    text = text or ""
+    if len(text) <= chunk_chars:
+        return [text]
+    step = max(1, int(chunk_chars * (1.0 - overlap)))
+    return [text[i : i + chunk_chars] for i in range(0, len(text), step)]
+
+
+def stub_extract_chunk(doc_id: str, field_names: list[str], ci: int, chunk: str) -> dict:
+    """Deterministic fake LLM for one chunk: chunk 0 yields every field;
+    later chunks yield a sparse hash-gated subset, so the field-wise merge
+    across chunks is actually exercised (late values override early ones)."""
+    out = {}
+    for f in field_names:
+        h = hashlib.sha1(f"{doc_id}:{f}:{ci}:{chunk[:64]}".encode()).hexdigest()
+        if ci == 0 or int(h[:2], 16) % 3 == 0:
+            out[f] = f"{f}_{h[:8]}"
+    return out
+
+
 def extract_structured(docs: DataFrame, field_names: list[str],
-                       chunk_chars: int = 1200, llm_stub: bool = True) -> DataFrame:
-    """C4 plumbing: chunk each doc's text (chunk_token_threshold analog),
-    run schema-guided extraction per chunk, merge. The LLM call itself is
-    STUBBED (deterministic fake: field values are hash-derived tokens);
-    schema, chunking, batch shape, and merge are real."""
-    import hashlib as _h
+                       chunk_chars: int = 1200, overlap: float = 0.1,
+                       llm_stub: bool = True) -> DataFrame:
+    """C4 plumbing (reference api.py:219-226, tasks.py:173-210): chunk each
+    doc's text with fractional overlap (chunk_token_threshold analog,
+    reference crawl.py:355-366), run schema-guided extraction per chunk,
+    merge field-wise across chunks in order — a later chunk's value for a
+    field overrides an earlier one, the reference's last-non-null merge. The
+    LLM call itself is STUBBED (deterministic fake: field values are
+    hash-derived tokens); schema, chunking, batch shape, and merge are real."""
     import json as _json
+
+    def _merge_doc(doc_id: str, text: str | None) -> tuple[str, int]:
+        chunks = chunk_text(text, chunk_chars, overlap)
+        merged: dict = {}
+        for ci, chunk in enumerate(chunks):
+            merged.update(stub_extract_chunk(doc_id, field_names, ci, chunk))
+        return _json.dumps(merged, sort_keys=True), len(chunks)
 
     def _extract(batches):
         for pdf in batches:
-            out_ids, out_json, out_n = [], [], []
-            for _, row in pdf.iterrows():
-                if not llm_stub:
-                    raise NotImplementedError("LLM extraction requires an external API")
-                text = row["text"] or ""
-                chunks = [text[i:i + chunk_chars] for i in range(0, max(len(text), 1), chunk_chars)]
-                merged = {}
-                for f in field_names:
-                    h = _h.sha1(f"{row['doc_id']}:{f}:{chunks[0][:64]}".encode()).hexdigest()
-                    merged[f] = f"{f}_{h[:8]}"
-                out_ids.append(str(row["doc_id"]))
-                out_json.append(_json.dumps(merged, sort_keys=True))
-                out_n.append(len(chunks))
-            yield pd.DataFrame({"doc_id": out_ids, "extracted": out_json, "n_chunks": out_n})
+            if not llm_stub:
+                raise NotImplementedError("LLM extraction requires an external API")
+            ids = pdf["doc_id"].astype(str)
+            pairs = [_merge_doc(d, t) for d, t in zip(ids, pdf["text"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "extracted": [p[0] for p in pairs],
+                    "n_chunks": np.array([p[1] for p in pairs], dtype=np.int32),
+                }
+            )
 
     return docs.select("doc_id", "text").mapInPandas(_extract, EXTRACT_SCHEMA)

@@ -56,6 +56,66 @@ def result_row_to_chunks(row: dict) -> Iterator[dict]:
         }
 
 
+def result_row_to_openai_chunks(
+    row: dict, model: str = "deepcrawl4ai-spark"
+) -> Iterator[dict]:
+    """C10/F6: wrap one result doc as OpenAI ``chat.completion.chunk``
+    payloads (reference triggers.py:91-135; field shape asserted by
+    reference tests/test_stream.py:44-51). The doc's text spans stream as
+    delta.content pieces; the final chunk carries finish_reason="stop".
+    ``created`` derives from the doc hash — deterministic replays, no wall
+    clock."""
+    doc_id = row["doc_id"]
+    cid = f"chatcmpl-{doc_id[:24]}"
+    created = int(doc_id[:8], 16)
+    text = "\n".join(
+        s["text"] for s in (row.get("spans") or ()) if s["kind"] == "text"
+    )
+    pieces = [text[i : i + CHUNK_SIZE] for i in range(0, len(text), CHUNK_SIZE)] or [""]
+    for piece in pieces:
+        yield {
+            "id": cid,
+            "object": "chat.completion.chunk",
+            "created": created,
+            "model": model,
+            "choices": [
+                {"index": 0, "delta": {"content": piece}, "finish_reason": None}
+            ],
+        }
+    yield {
+        "id": cid,
+        "object": "chat.completion.chunk",
+        "created": created,
+        "model": model,
+        "choices": [{"index": 0, "delta": {}, "finish_reason": "stop"}],
+    }
+
+
+def stream_results_openai(
+    spark: SparkSession,
+    store: CheckpointStore,
+    from_round: int = 0,
+    model: str = "deepcrawl4ai-spark",
+) -> Iterator[str]:
+    """SSE stream in the OpenAI chunk dialect (reference triggers.py:126-135
+    ends with [DONE] exactly like the chat completions API)."""
+    last = store.last_round()
+    if last is not None:
+        results = store.read(spark, "results")
+        if results is not None:
+            rows = (
+                results.filter(f"round >= {from_round}")
+                .orderBy("round", "doc_id")
+                .toLocalIterator()  # API edge only — never in the engine
+            )
+            for r in rows:
+                for chunk in result_row_to_openai_chunks(
+                    r.asDict(recursive=True), model=model
+                ):
+                    yield _frame(chunk)
+    yield "data: [DONE]\n\n"
+
+
 def stream_results_sse(
     spark: SparkSession,
     store: CheckpointStore,

@@ -54,6 +54,127 @@ def test_sse_chunk_fields_and_dedup(spark, small_store):
             assert "spans" in doc and "doc_id" in doc
 
 
+def test_openai_chunk_stream(spark, small_store):
+    """C10/F6 — the OpenAI chat.completion.chunk dialect; field assertions
+    ported from reference tests/test_stream.py:44-51 (id/object/created/
+    model/choices/delta/content) and the trailing [DONE]."""
+    from deepcrawl4ai_spark.streaming.sse import stream_results_openai
+
+    frames = list(stream_results_openai(spark, small_store))
+    assert len(frames) > 2
+    assert frames[-1] == "data: [DONE]\n\n"
+    finish_seen = 0
+    for f in frames[:-1]:
+        assert f.startswith("data: ") and f.endswith("\n\n")
+        payload = json.loads(f[len("data: ") : -2])
+        for field in ("id", "object", "created", "model", "choices"):
+            assert field in payload
+        assert payload["object"] == "chat.completion.chunk"
+        assert payload["id"].startswith("chatcmpl-")
+        assert isinstance(payload["created"], int)
+        choice = payload["choices"][0]
+        assert choice["index"] == 0 and "delta" in choice
+        if choice["finish_reason"] == "stop":
+            finish_seen += 1
+            assert choice["delta"] == {}
+        else:
+            assert "content" in choice["delta"]
+    # exactly one stop chunk per streamed doc
+    n_docs = small_store.read(spark, "results").count()
+    assert finish_seen == n_docs
+    # deterministic replay: created derives from the doc, not wall clock
+    again = list(stream_results_openai(spark, small_store))
+    assert frames == again
+
+
+def test_session_pool_reuse_and_ttl():
+    """F7 — get-or-create under config signature, reuse across batches,
+    idle-TTL eviction (reference crawler_pool.py:25-74)."""
+    from deepcrawl4ai_spark.frontier import fetcher as FE
+
+    FE.pool_reset()
+    a1 = FE.get_session("cfg_a")
+    a2 = FE.get_session("cfg_a")
+    assert a1 is a2 and a2.n_uses == 2  # reuse, not re-create
+    b = FE.get_session("cfg_b")
+    assert b is not a1
+    # idle past the TTL: touching only cfg_b evicts (and closes) cfg_a
+    for _ in range(FE.SESSION_IDLE_TTL + 1):
+        FE.get_session("cfg_b")
+    assert a1.closed
+    a3 = FE.get_session("cfg_a")
+    assert a3 is not a1 and a3.n_uses == 1  # fresh session after eviction
+    FE.pool_reset()
+
+
+def test_health_gauge_budget(spark, tmp_path_factory):
+    """A3/R7 — injected cpu/mem gauges gate the next round's budget via
+    min(1-cpu, 1-mem, 1-err) (reference monitor.py:200-238)."""
+    root = str(tmp_path_factory.mktemp("gauge"))
+    eng = CrawlEngine(
+        spark,
+        root,
+        EngineConfig(
+            global_budget=100,
+            min_budget=10,
+            adaptive_budget=True,
+            health_gauges=lambda: (0.40, 0.25),
+        ),
+    )
+    # no history: gauge factor alone → 100 * (1-0.40) = 60
+    assert eng._next_budget(None) == 60
+    # error rate 0.5 dominates the gauges → 100 * 0.5 = 50
+    assert eng._next_budget({"urls_popped": 10, "urls_failed": 5}) == 50
+    # healthy gauges, clean round → full budget
+    eng.cfg.health_gauges = lambda: (0.0, 0.0)
+    assert eng._next_budget({"urls_popped": 10, "urls_failed": 0}) == 100
+    # overloaded gauges floor at min_budget
+    eng.cfg.health_gauges = lambda: (0.99, 0.10)
+    assert eng._next_budget(None) == 10
+
+
+def test_c4_overlap_and_merge(spark):
+    """C4 — chunk windows overlap by 10% and a late chunk's field value
+    survives the merge (reference crawl.py:355-366)."""
+    from deepcrawl4ai_spark.multimodal.media import (
+        chunk_text,
+        extract_structured,
+        stub_extract_chunk,
+    )
+
+    text = "".join(chr(97 + (i % 26)) for i in range(3000))
+    chunks = chunk_text(text, chunk_chars=1200, overlap=0.1)
+    assert len(chunks) == 3
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-120:] == b[: len(a[-120:])]  # consecutive windows share 10%
+
+    # find a doc where a late chunk overrides chunk 0 for some field
+    fields = ["title", "author"]
+    doc_id, expected = None, None
+    for i in range(200):
+        d = f"doc{i}"
+        t = f"{i}:" + text
+        cs = chunk_text(t, 1200, 0.1)
+        merged = {}
+        late = {}
+        for ci, c in enumerate(cs):
+            got = stub_extract_chunk(d, fields, ci, c)
+            if ci > 0:
+                late.update(got)
+            merged.update(got)
+        if late:  # at least one field overridden by a late chunk
+            doc_id, doc_text, expected, late_fields = d, t, merged, late
+            break
+    assert doc_id is not None, "stub never produced a late-chunk field"
+    df = spark.createDataFrame([(doc_id, doc_text)], "doc_id string, text string")
+    row = extract_structured(df, fields).collect()[0]
+    got = json.loads(row["extracted"])
+    assert got == expected
+    for f, v in late_fields.items():
+        assert got[f] == v  # the late chunk's value won the merge
+    assert row["n_chunks"] == 3
+
+
 def test_sse_from_round_filter(spark, small_store):
     from deepcrawl4ai_spark.streaming.sse import stream_results_sse
 
