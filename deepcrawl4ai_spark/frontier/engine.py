@@ -83,6 +83,14 @@ class EngineConfig:
     # min(1-cpu, 1-mem, 1-err). Gauges are non-replayable by nature — leave
     # None (off) for golden tests and deterministic replays.
     health_gauges: object | None = None
+    # Hot-host salting (SURVEY §4 item 2): when per-host budgets exceed
+    # salt_threshold, selection runs a pre-stage window over (host, salt) so
+    # no single reducer sorts a mega-host's entire queued set — each salt
+    # keeps its own top-budget and the exact per-host pass then ranks only
+    # ≤ salt_splits × budget survivors. Physical only: results are identical
+    # (any row in the host's true top-budget is inside its salt's top-budget).
+    salt_threshold: int = 64
+    salt_splits: int = 16
     # R3/R4 token bucket (reference TokenBucket, redisCache.py:85-89): when
     # on, a host's round budget is min(capacity, tokens + refill) with the
     # balance carried in a checkpointed host_state table; refill =
@@ -347,6 +355,26 @@ class CrawlEngine:
         # at most maxb × input-partitions do). The exact per-host budget
         # (a column from robots) is then applied on the ranked rows.
         max_budget = max(self._max_budget, 2)
+        if int(max_budget) > cfg.salt_threshold:
+            # hot-host pre-stage: exact per-(host, salt) top-budget first.
+            # The salt comes from url_hash chars 5-8 (independent of the
+            # bloom partition bits), so a mega-host's rows spread over
+            # salt_splits reducers; survivors ≤ salt_splits × budget per
+            # host, which the exact per-host pass below ranks cheaply.
+            w1 = W.partitionBy("host", "_salt").orderBy(*_order_cols())
+            cand = (
+                cand.withColumn(
+                    "_salt",
+                    F.pmod(
+                        F.conv(F.substring("url_hash", 5, 4), 16, 10).cast("int"),
+                        F.lit(int(cfg.salt_splits)),
+                    ),
+                )
+                .withColumn("rk1", F.row_number().over(w1))
+                .filter(F.col("rk1") <= F.lit(int(max_budget)))
+                .filter(F.col("rk1") <= F.col("budget"))
+                .drop("_salt", "rk1")
+            )
         w2 = W.partitionBy("host").orderBy(*_order_cols())
         host_capped = (
             cand.withColumn("rk", F.row_number().over(w2))

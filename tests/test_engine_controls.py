@@ -144,6 +144,34 @@ def test_bloom_rebuild_keeps_golden_parity(spark, tmp_path_factory, monkeypatch)
         assert m["new_frontier"] == sim.round_metrics[i]["new_frontier"]
 
 
+def test_hot_host_salting_golden(spark, tmp_path_factory):
+    """SURVEY §4 item 2: with budget_scale large enough to cross
+    salt_threshold, the salted two-stage selection must still equal the
+    simulator exactly, and the fetch stage must stay balanced (no partition
+    holds >2x the mean)."""
+    from deepcrawl4ai_spark.frontier.simulator import SimConfig, simulate
+
+    cfg = dict(
+        global_budget=1200,
+        max_depth=2,
+        max_attempts=2,
+        budget_scale=40,  # hottest host budget = 8*40 = 320 > salt_threshold
+        record_order=True,
+    )
+    sim = simulate(WG.gen_seeds(64), SimConfig(max_rounds=2, **cfg))
+    root = str(tmp_path_factory.mktemp("salt"))
+    eng = CrawlEngine(spark, root, EngineConfig(max_rounds=2, **cfg))
+    assert eng._max_budget > eng.cfg.salt_threshold  # salt path engaged
+    metrics = eng.run(WG.gen_seeds(64))
+    assert len(metrics) == len(sim.round_metrics)
+    for i, m in enumerate(metrics):
+        assert m["crawl_order"] == sim.crawl_order[i], f"round {i}"
+        # a mega-host's selected budget must not concentrate the fetch
+        per_part = [p["rows"] for p in m["per_partition"]]
+        mean = sum(per_part) / len(per_part)
+        assert max(per_part) <= 2 * mean, f"round {i} fetch skewed: {per_part}"
+
+
 def _failing_url() -> str:
     """First page in the synthetic universe whose fetch deterministically
     fails (webgraph: sha1 int % 37 == 0)."""
