@@ -6,8 +6,10 @@ Per round (all DataFrame ops, one driver-side loop):
               (the literal rank bound triggers Catalyst's WindowGroupLimit:
               map-side partial top-k per host BEFORE the shuffle — the
               north_rule's hot-host skew handling; a mega-host's queued
-              millions never travel) → exact distributed global top-budget
-              (range partition + boundary rank; no TakeOrdered driver merge).
+              millions never travel; above salt_threshold an exact
+              (host, salt) pre-stage spreads even the survivors) → exact
+              distributed global top-budget (range partition + key cutoff;
+              no TakeOrdered driver merge).
   politeness  R3/R5: per-host budget = robots.max_tokens per round — budget
               arithmetic on round numbers, no wall clock, so replays/resume
               are exact.
@@ -15,8 +17,10 @@ Per round (all DataFrame ops, one driver-side loop):
               round-robin repartition so the expensive stage uses every core
               (deterministic synthetic web here; async client pool on a real
               cluster).
-  dedup       J3: bloom prefilter (partitioned, applyInPandas) → exact
-              left-anti rescue ONLY for maybe-seen rows.
+  dedup       J3: bloom prefilter (partitioned, size-adaptive generations,
+              applyInPandas) → exact left-anti rescue ONLY for maybe-seen
+              rows, against ONLY the seen_hashes storage buckets they hash
+              into (partition-pruned log scan).
   commit      X3/T7: frontier + seen_filter + results in one atomic snapshot
               (round metrics/lineage live in the manifest itself); kill +
               restart resumes without re-fetching.
@@ -383,62 +387,88 @@ class CrawlEngine:
             .select(*FRONTIER_COLS)
         )
         holds: list[DataFrame] = []
-        # adaptive plan choice: when politeness caps bind (host-capped count ≤
-        # global budget — the common crawl regime), the whole set is selected
-        # and the global-limit machinery is skipped
         host_capped = host_capped.persist()
         holds.append(host_capped)
-        n_capped = host_capped.count()
-        if n_capped <= round_budget:
-            selected = host_capped
-        else:
-            selected = distributed_limit(host_capped, round_budget, self.spark, holds)
-
         # rebalance before the fetch: the selected set inherits skewed
         # partitioning (top-of-range or per-host clusters); the fetch stage is
         # the expensive one and must use every core evenly
         n_fetch = self.spark.sparkContext.defaultParallelism
-        fetched = run_fetch(selected.repartition(n_fetch)).persist()
 
-        # metrics: one small collect (test scale, also yields the crawl-order
-        # record) or two tiny aggregates (bench scale — never ship 10^5 rows
-        # to the driver)
-        order_record: list[str] | None = None
-        if cfg.record_order:
-            meta = fetched.select(
-                "url_hash",
-                "score",
-                "depth",
-                "fetch_status",
-                F.size("links").alias("n_links"),
-                "fetch_pid",
-            ).collect()
-            popped = len(meta)
-            n_success = sum(1 for m in meta if m["fetch_status"] == "success")
-            outlinks_seen = sum(
-                m["n_links"] for m in meta if m["fetch_status"] == "success"
-            )
+        def _fetch_and_measure(sel: DataFrame):
+            """Fetch + round metrics in ONE job: a small collect (test scale,
+            also yields the crawl-order record) or two tiny aggregates (bench
+            scale — never ship 10^5 rows to the driver)."""
+            fetched = run_fetch(sel.repartition(n_fetch)).persist()
+            order_record: list[str] | None = None
             per_partition: dict[int, int] = {}
-            for m in meta:
-                per_partition[m["fetch_pid"]] = per_partition.get(m["fetch_pid"], 0) + 1
-            order_record = [
-                m["url_hash"]
-                for m in sorted(meta, key=lambda m: (-m["score"], m["depth"], m["url_hash"]))
-            ]
-        else:
-            agg_rows = (
-                fetched.groupBy("fetch_status", "fetch_pid")
-                .agg(F.count("*").alias("n"), F.sum(F.size("links")).alias("nl"))
-                .collect()
-            )
-            popped = sum(a["n"] for a in agg_rows)
-            n_success = sum(a["n"] for a in agg_rows if a["fetch_status"] == "success")
-            outlinks_seen = sum(
-                a["nl"] or 0 for a in agg_rows if a["fetch_status"] == "success"
-            )
-            per_partition = {}
-            for a in agg_rows:
-                per_partition[a["fetch_pid"]] = per_partition.get(a["fetch_pid"], 0) + a["n"]
+            if cfg.record_order:
+                meta = fetched.select(
+                    "url_hash",
+                    "score",
+                    "depth",
+                    "fetch_status",
+                    F.size("links").alias("n_links"),
+                    "fetch_pid",
+                ).collect()
+                popped = len(meta)
+                n_success = sum(1 for m in meta if m["fetch_status"] == "success")
+                outlinks = sum(
+                    m["n_links"] for m in meta if m["fetch_status"] == "success"
+                )
+                for m in meta:
+                    per_partition[m["fetch_pid"]] = per_partition.get(m["fetch_pid"], 0) + 1
+                order_record = [
+                    m["url_hash"]
+                    for m in sorted(meta, key=lambda m: (-m["score"], m["depth"], m["url_hash"]))
+                ]
+            else:
+                agg_rows = (
+                    fetched.groupBy("fetch_status", "fetch_pid")
+                    .agg(F.count("*").alias("n"), F.sum(F.size("links")).alias("nl"))
+                    .collect()
+                )
+                popped = sum(a["n"] for a in agg_rows)
+                n_success = sum(a["n"] for a in agg_rows if a["fetch_status"] == "success")
+                outlinks = sum(
+                    a["nl"] or 0 for a in agg_rows if a["fetch_status"] == "success"
+                )
+                for a in agg_rows:
+                    per_partition[a["fetch_pid"]] = per_partition.get(a["fetch_pid"], 0) + a["n"]
+            return fetched, popped, n_success, outlinks, per_partition, order_record
+
+        # OPTIMISTIC selection (floor cut): in the politeness-bound regime —
+        # the common crawl case — the host-capped set already fits the global
+        # budget, so fetch it directly and let an Observation ride along with
+        # that same job to report the selection count. Only if the count
+        # overshoots (budget-bound regime) discard and redo with the exact
+        # distributed top-N. Saves one full pass over the queue per round.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"sel_r{r}")
+        observed = host_capped.observe(obs, F.count(F.lit(1)).alias("n"))
+        (
+            fetched,
+            popped,
+            n_success,
+            outlinks_seen,
+            per_partition,
+            order_record,
+        ) = _fetch_and_measure(observed)
+        # popped == 0 → the empty plan may have been constant-folded away
+        # (PropagateEmptyRelation prunes the observe node; get would fail),
+        # and 0 rows can't overshoot the budget anyway
+        n_capped = int(obs.get["n"]) if popped > 0 else 0
+        if n_capped > round_budget:
+            fetched.unpersist()
+            selected = distributed_limit(host_capped, round_budget, self.spark, holds)
+            (
+                fetched,
+                popped,
+                n_success,
+                outlinks_seen,
+                per_partition,
+                order_record,
+            ) = _fetch_and_measure(selected)
         for h in holds:
             h.unpersist()
         _mark("select_fetch_metrics")
@@ -534,8 +564,14 @@ class CrawlEngine:
         new_count = new_rows.count()
         _mark("outlinks_dedup")
 
-        # frontier state update (the "pop" rewrite — reference LTRIM analog)
+        # frontier state update (the "pop" rewrite — reference LTRIM analog).
+        # The outcome side is ≤ round-budget rows (tiny next to the queue):
+        # broadcast it so the O(queue) rewrite never shuffles the frontier.
+        # At 10^8+ round budgets the hint stops binding and AQE falls back
+        # to a shuffle join — correctness unchanged.
         outcome = fetched.select("url_hash", F.col("fetch_status").alias("_st"))
+        if popped <= 2_000_000:
+            outcome = F.broadcast(outcome)
         updated = (
             frontier.join(outcome, "url_hash", "left")
             .withColumn(

@@ -142,3 +142,56 @@ def run_fetch(selected: DataFrame) -> DataFrame:
     fetched rows with spans + outlinks."""
     cols = ["url_hash", "url_norm", "host", "depth", "score", "attempt"]
     return selected.select(*cols).mapInPandas(fetch_map, FETCH_SCHEMA)
+
+
+# --- F4/F5: page interaction as multi-fetch (SURVEY §2.7) ---------------------
+
+VARIANT_SCHEMA = T.StructType(
+    list(FETCH_SCHEMA.fields) + [T.StructField("page_variant", T.IntegerType(), False)]
+)
+
+
+def fetch_variants_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One output row per (url, page_variant): variant 0 is the base load,
+    higher variants are post-interaction states (scroll / load-more,
+    reference actions.py:8-215). The fan-out count is the page's own
+    n_page_variants — the 'no new content' stop condition."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    get_session("default")
+    for pdf in batches:
+        rows: dict[str, list] = {f.name: [] for f in VARIANT_SCHEMA.fields}
+        for u, uh, host, depth, score, attempt in zip(
+            pdf["url_norm"], pdf["url_hash"], pdf["host"], pdf["depth"],
+            pdf["score"], pdf["attempt"],
+        ):
+            n_var = 0 if WG.fetch_page(u).fetch_status == "failed" else WG.n_page_variants(u)
+            for v in range(n_var + 1):
+                page = WG.fetch_page_variant(u, v)
+                rows["url_hash"].append(uh)
+                rows["url_norm"].append(u)
+                rows["host"].append(host)
+                rows["depth"].append(depth)
+                rows["score"].append(score)
+                rows["attempt"].append(attempt)
+                rows["fetch_status"].append(page.fetch_status)
+                rows["spans"].append(
+                    [
+                        {"kind": k, "text": t, "media_ref": m, "offset": o}
+                        for (k, t, m, o) in page.spans
+                    ]
+                )
+                rows["links"].append(list(page.outlinks))
+                rows["fetch_pid"].append(pid)
+                rows["page_variant"].append(v)
+        yield pd.DataFrame(rows)
+
+
+def run_fetch_variants(selected: DataFrame) -> DataFrame:
+    """F4/F5 multi-fetch: every selected URL fans out into its interaction
+    variants, each a full span document with a page_variant column — the
+    DataFrame model SURVEY §2.7 proposed for browser-bound scroll/load-more."""
+    cols = ["url_hash", "url_norm", "host", "depth", "score", "attempt"]
+    return selected.select(*cols).mapInPandas(fetch_variants_map, VARIANT_SCHEMA)

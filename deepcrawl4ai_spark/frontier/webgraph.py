@@ -141,6 +141,46 @@ def fetch_page(url_norm: str) -> Page:
     return Page(url_norm, url_hash, "success", tuple(spans), tuple(links))
 
 
+def n_page_variants(url_norm: str) -> int:
+    """How many interaction variants (scroll pages / load-more clicks) this
+    page exposes beyond the base load — 0..2, closed-form of the hash
+    (reference actions.py:8-215 scrolls until no new content / max steps)."""
+    hd = hashlib.sha1(url_norm.encode()).digest()
+    return hd[11] % 3
+
+
+def fetch_page_variant(url_norm: str, variant: int) -> Page:
+    """F4/F5 model (SURVEY §2.7): variant 0 is the base page; variant k > 0
+    is the page state after k scroll/load-more actions — the same document
+    extended with deterministically derived extra spans (appended at
+    offsets after the base) and possibly extra outlinks revealed by the
+    interaction. Variants beyond n_page_variants raise (the reference stops
+    when no new content appears)."""
+    base = fetch_page(url_norm)
+    if variant == 0 or base.fetch_status == "failed":
+        return base
+    if variant > n_page_variants(url_norm):
+        raise ValueError(f"page has only {n_page_variants(url_norm)} variants")
+    spans = list(base.spans)
+    links = list(base.outlinks)
+    for k in range(1, variant + 1):
+        kb = hashlib.sha1(f"{url_norm}:v{k}".encode()).digest()
+        n_extra = 1 + kb[0] % 3
+        for s in range(n_extra):
+            off = len(spans)
+            wb = hashlib.sha1(f"{url_norm}:v{k}:s{s}".encode()).digest()
+            if wb[0] % 10 < 8:
+                words = [WORD_POOL[wb[1 + (i % 16)] % len(WORD_POOL)] for i in range(3 + wb[2] % 6)]
+                spans.append(("text", " ".join(words), "", off))
+            else:
+                spans.append(("image", "", f"media://{base.url_hash[:16]}/v{k}img{s}", off))
+        if kb[3] % 2 == 0:  # load-more can reveal one extra link
+            v = int.from_bytes(kb[4:8], "big")
+            ti = _pick_global(v)
+            links.append(page_url(ti, int.from_bytes(kb[8:12], "big") % host_pages()[ti]))
+    return Page(base.url_norm, base.url_hash, "success", tuple(spans), tuple(links))
+
+
 def gen_seeds(n: int = 64) -> list[str]:
     """Messy seed list over the universe: uppercase hosts, default ports,
     dot-segments, fragments — duplicates-after-normalization included

@@ -218,6 +218,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-blocked — the scale path that replaces the
+    label-blocked all-pairs variant (dedup_embedding_cosine): blocking key =
+    random-hyperplane signature, exact cosine only inside a bucket. Same
+    0.3 report threshold so the two variants are directly comparable; at
+    100 TB the signature-equality join collapses the pair space to
+    bucket-local."""
+    from deepcrawl4ai_spark.operators.similarity import _hyperplane_sig
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _hyperplane_sig(F.col("embedding")).alias("sig"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
 def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with survivor policy: keep the smallest doc_id per
     fingerprint bucket (bucketed by md5 prefix to guarantee collisions in

@@ -123,6 +123,52 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF search (probe=1): coarse-assign corpus AND queries (vec_id <
+    10) to their nearest centroid (broadcast centroids, as in
+    ann_ivf_assign), then exact cosine top-5 only inside the query's own
+    cluster — search cost scales with cluster size, not corpus size. This is
+    the partition-pruned scale path a 100 TB vector sweep needs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nrm")
+    )
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cos_c = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    w1 = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", "cid", cos_c.alias("cos_c"))
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cid").alias("qcid"),
+    )
+    corpus = assigned.filter(F.col("vec_id") >= 10)
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = corpus.join(F.broadcast(q), F.col("cid") == F.col("qcid")).select(
+        "qid", "vec_id", cos.alias("cos_raw")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
 def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization: centroids = vectors with vec_id % 50 == 0;
     assign every vector to its nearest centroid by cosine (deterministic

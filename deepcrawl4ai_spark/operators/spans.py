@@ -11,7 +11,7 @@ crawl engine's own spans are covered by the simulator golden tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from deepcrawl4ai_spark.sources.tables import load_table
@@ -101,6 +101,42 @@ def c1_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_text"),
         F.size(F.filter(F.col("spans"), is_img)).cast("long").alias("n_media"),
         F.coalesce(first_img, F.lit(-1)).alias("first_media_offset"),
+    )
+
+
+def c7_selector_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 (reference dynamic_selectors.py:4-48 infers CSS selectors from
+    sample pages): pages sharing a template = docs with the same span count;
+    the inferred 'selector' is the dominant span-kind path ('t>i>t…', a
+    CSS-path analog) with support and coverage per template. Pure
+    aggregation over the spans column — one groupBy at any scale."""
+    docs = _with_spans(load_table(spark, sf_dir, "documents")).filter(
+        F.size("spans") > 0
+    )
+    sig = F.array_join(
+        F.transform(
+            F.col("spans"),
+            lambda s: F.when(s["kind"] == "image", F.lit("i")).otherwise(F.lit("t")),
+        ),
+        ">",
+    )
+    per_doc = docs.select(F.size("spans").alias("template"), sig.alias("selector"))
+    counts = per_doc.groupBy("template", "selector").agg(F.count("*").alias("support"))
+    totals = per_doc.groupBy("template").agg(F.count("*").alias("total_docs"))
+    w = W.partitionBy("template").orderBy(
+        F.col("support").desc(), F.col("selector").asc()
+    )
+    winners = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return winners.join(totals, "template").select(
+        F.col("template").cast("long").alias("template"),
+        "selector",
+        "support",
+        "total_docs",
+        F.round(F.col("support") / F.col("total_docs"), 6).alias("coverage"),
     )
 
 

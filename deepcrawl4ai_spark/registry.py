@@ -690,6 +690,32 @@ _q(
 )
 
 _q(
+    "c7_selector_inference",
+    SP.c7_selector_inference,
+    _SPAN_CTE
+    + """
+    , per_doc AS (
+      SELECT doc_id, count(*) AS template,
+             string_agg(CASE WHEN is_image THEN 'i' ELSE 't' END, '>'
+                        ORDER BY "offset") AS selector
+      FROM sp GROUP BY doc_id
+    ),
+    counts AS (
+      SELECT template, selector, count(*) AS support FROM per_doc GROUP BY 1, 2
+    ),
+    totals AS (SELECT template, count(*) AS total_docs FROM per_doc GROUP BY 1)
+    SELECT template, selector, support, total_docs,
+           round(support * 1.0 / total_docs, 6) AS coverage
+    FROM (
+      SELECT template, selector, support,
+             row_number() OVER (PARTITION BY template
+                                ORDER BY support DESC, selector ASC) AS rk
+      FROM counts
+    ) ranked JOIN totals USING (template) WHERE rk = 1
+    """,
+)
+
+_q(
     "tpch_q1",
     SP.tpch_q1,
     """
@@ -791,6 +817,59 @@ _q(
       ) WHERE rk = 1
     )
     SELECT cid, count(*) AS cluster_size FROM assigned GROUP BY cid
+    """,
+)
+
+_q(
+    "ann_ivf_topk",
+    S.ann_ivf_topk,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, v, nrm, cid FROM (
+        SELECT e.vec_id, e.v, e.nrm, cents.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_DOT.format(a='e.v', b='cents.cv')} / (e.nrm * cents.cn)
+                   DESC, cents.cid ASC) AS rk
+        FROM e CROSS JOIN cents
+      ) WHERE rk = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id,
+             {_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cos_raw
+      FROM assigned q JOIN assigned c ON q.cid = c.cid
+      WHERE q.vec_id < 10 AND c.vec_id >= 10
+    )
+    SELECT qid, vec_id, round(cos_raw, 6) AS cosine, rk FROM (
+      SELECT qid, vec_id, cos_raw,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_raw DESC, vec_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+
+_q(
+    "dedup_embedding_lsh",
+    D.dedup_embedding_lsh,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm,
+             {_sig_sql('embedding')} AS sig
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round({_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS cosine
+    FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE round({_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) >= 0.3
     """,
 )
 

@@ -124,6 +124,42 @@ def test_token_bucket_matches_simulator(spark, tmp_path_factory):
     ]
 
 
+def test_distributed_limit_exact(spark):
+    """The >20k path of distributed_limit (range partition + key cutoff,
+    ADVICE r1 #2 rewrite) must equal a plain orderBy().limit() exactly."""
+    from pyspark.sql import functions as F
+
+    from deepcrawl4ai_spark.frontier.engine import _score_sql, distributed_limit
+
+    n_rows, n = 60_000, 25_000
+    df = (
+        spark.range(n_rows)
+        .select(F.sha1(F.encode(F.col("id").cast("string"), "UTF-8")).alias("url_hash"))
+        .select(
+            "url_hash",
+            _score_sql(F.col("url_hash")).alias("score"),
+            (F.conv(F.substring("url_hash", 9, 2), 16, 10).cast("int") % 5).alias(
+                "depth"
+            ),
+        )
+    )
+    got = {
+        r["url_hash"]
+        for r in distributed_limit(df, n, spark).select("url_hash").collect()
+    }
+    want = {
+        r["url_hash"]
+        for r in df.orderBy(
+            F.col("score").desc(), F.col("depth").asc(), F.col("url_hash").asc()
+        )
+        .limit(n)
+        .select("url_hash")
+        .collect()
+    }
+    assert len(got) == n
+    assert got == want
+
+
 def test_bloom_rebuild_keeps_golden_parity(spark, tmp_path_factory, monkeypatch):
     """With a tiny bloom floor the seen-set outgrows the filter fast: the
     engine must spill generations and trigger the log-rebuild path while

@@ -103,6 +103,42 @@ def test_resume_without_refetch(spark, tmp_path_factory, sim):
     assert eng_seen == sim.seen
 
 
+def test_page_variants_model(spark):
+    """F4/F5 (SURVEY §2.7 model): multi-fetch fan-out with a page_variant
+    column (reference actions.py:8-215 scroll/load-more). Variant 0 equals
+    the base fetch byte-for-byte; each later variant extends the span
+    sequence monotonically (interaction adds content, never rewrites it)."""
+    from deepcrawl4ai_spark.frontier.fetcher import run_fetch_variants
+
+    urls = []
+    for pj in range(WG.host_pages()[0]):
+        u = WG.page_url(0, pj)
+        if WG.fetch_page(u).fetch_status == "success" and WG.n_page_variants(u) >= 1:
+            urls.append(u)
+        if len(urls) >= 5:
+            break
+    assert urls, "universe has no multi-variant pages"
+    rows = [(WG.sha1_hex(u), u, "h000.example.com", 0, 0.5, 0) for u in urls]
+    df = spark.createDataFrame(
+        rows,
+        "url_hash string, url_norm string, host string, depth int,"
+        " score double, attempt int",
+    )
+    by_url: dict[str, dict[int, tuple]] = {}
+    for r in run_fetch_variants(df).collect():
+        by_url.setdefault(r["url_norm"], {})[r["page_variant"]] = tuple(
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        )
+    for u in urls:
+        vs = by_url[u]
+        assert set(vs) == set(range(WG.n_page_variants(u) + 1))
+        assert vs[0] == WG.fetch_page(u).spans  # base load unchanged
+        for v in range(1, len(vs)):
+            assert vs[v][: len(vs[v - 1])] == vs[v - 1]  # monotone extension
+            assert len(vs[v]) > len(vs[v - 1])
+            assert [s[3] for s in vs[v]] == list(range(len(vs[v])))  # offsets
+
+
 def test_submit_seeds_idempotent(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("idem"))
     eng = CrawlEngine(spark, root, EngineConfig(max_rounds=1, **CFG))
