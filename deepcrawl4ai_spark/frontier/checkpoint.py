@@ -114,7 +114,24 @@ class CheckpointStore:
 
         with ThreadPoolExecutor(max_workers=len(jobs) or 1) as pool:
             list(pool.map(_write, jobs))
-        snap = {"round": round_id, "tables": tables, "metrics": metrics}
+        # per-partition lineage (north_rule): record file/byte counts of the
+        # data each table gained this round — driver-side directory walk,
+        # no Spark job (the Iceberg manifest-entry analog)
+        files_meta: dict[str, dict] = {}
+        for name, _df, path in jobs:
+            n_files = n_bytes = 0
+            for dirpath, _dirs, fnames in os.walk(path):
+                for fn in fnames:
+                    if fn.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(dirpath, fn))
+            files_meta[name] = {"files": n_files, "bytes": n_bytes}
+        snap = {
+            "round": round_id,
+            "tables": tables,
+            "tables_meta": files_meta,
+            "metrics": metrics,
+        }
         snap_path = os.path.join(self.root, "_snapshots", f"r{round_id:05d}.json")
         tmp = snap_path + ".tmp"
         with open(tmp, "w") as f:
