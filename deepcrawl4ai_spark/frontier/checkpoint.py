@@ -221,6 +221,39 @@ class CheckpointStore:
             removed.append(s["round"])
         return removed
 
+    def prometheus_metrics(self) -> str:
+        """A5: the committed round metrics in Prometheus text exposition
+        format (reference monitor.py:175-238 exports crawler gauges). Pure
+        driver-side rendering of the manifest lineage — scrape-able by an
+        API edge without touching Spark."""
+        cur = self.current_snapshot()
+        lines = [
+            "# HELP crawl_rounds_total committed frontier rounds",
+            "# TYPE crawl_rounds_total counter",
+        ]
+        ms = [m for m in self.round_metrics() if m.get("round", -1) >= 0]
+        lines.append(f"crawl_rounds_total {len(ms)}")
+        gauges = (
+            ("crawl_urls_popped", "urls_popped"),
+            ("crawl_urls_fetched", "urls_fetched"),
+            ("crawl_urls_failed", "urls_failed"),
+            ("crawl_new_frontier", "new_frontier"),
+            ("crawl_dedup_dropped", "dedup_dropped"),
+        )
+        for pname, key in gauges:
+            lines.append(f"# TYPE {pname}_total counter")
+            lines.append(f"{pname}_total {sum(m.get(key, 0) or 0 for m in ms)}")
+            if ms:
+                lines.append(f"# TYPE {pname}_last gauge")
+                lines.append(f"{pname}_last {ms[-1].get(key, 0) or 0}")
+        if cur is not None:
+            lines.append("# TYPE crawl_table_bytes gauge")
+            for table, meta in (cur.get("tables_meta") or {}).items():
+                lines.append(
+                    f'crawl_table_bytes{{table="{table}"}} {meta.get("bytes", 0)}'
+                )
+        return "\n".join(lines) + "\n"
+
     def round_metrics(self) -> list[dict]:
         """All committed round metrics, in round order (lineage view)."""
         out = []

@@ -137,6 +137,26 @@ def fetch_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def warm_pool(spark, config_sig: str = "default") -> int:
+    """F8 warm-up (reference server.py:113-138 pre-creates the browser pool
+    at startup): touch every executor python worker with a one-row-per-core
+    job that creates the session for *config_sig* ahead of the first real
+    fetch. Returns the number of worker processes warmed."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import mirror
+
+    n = spark.sparkContext.defaultParallelism
+
+    def _warm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _o
+
+        get_session(config_sig)
+        for pdf in batches:
+            yield pd.DataFrame({"worker_pid": [_o.getpid()] * len(pdf)})
+
+    df = spark.range(n).repartition(n).mapInPandas(_warm, "worker_pid long")
+    return df.distinct().count()
+
+
 def run_fetch(selected: DataFrame) -> DataFrame:
     """selected: (url_hash, url_norm, host, depth, score, attempt, …) →
     fetched rows with spans + outlinks."""

@@ -45,6 +45,60 @@ def test_media_table_roundtrip_and_resolve(spark, tmp_path):
     assert got == want
 
 
+def test_read_any_content_negotiation(spark, tmp_path):
+    """S3 reader dispatch: parquet/json/csv/text round-trip the same rows;
+    unknown extensions fail loudly."""
+    import pytest
+
+    from deepcrawl4ai_spark.sources.tables import read_any
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    p = {ext: str(tmp_path / f"t_{ext}") for ext in ("parquet", "json", "csv")}
+    df.write.parquet(p["parquet"])
+    df.write.json(p["json"])
+    df.write.options(header=True).csv(p["csv"])
+    for ext, path in p.items():
+        got = {
+            (r["id"], r["name"])
+            for r in read_any(spark, path, fmt=ext).select("id", "name").collect()
+        }
+        assert got == {(1, "a"), (2, "b")}, ext
+    # extension-based dispatch (no fmt) + loud failure on unknown types
+    f = str(tmp_path / "byext.json")
+    df.write.json(f)
+    assert read_any(spark, f).count() == 2
+    with pytest.raises(ValueError, match="unsupported content type"):
+        read_any(spark, "/tmp/file.xyz")
+    with pytest.raises(ValueError, match="unsupported content type"):
+        read_any(spark, p["parquet"])  # extension-less dir needs fmt=
+
+
+def test_prometheus_exposition(spark, tmp_path_factory):
+    """A5: committed round metrics render as Prometheus text format."""
+    from deepcrawl4ai_spark.frontier import webgraph as WG
+    from deepcrawl4ai_spark.frontier.engine import CrawlEngine, EngineConfig
+
+    root = str(tmp_path_factory.mktemp("prom"))
+    eng = CrawlEngine(spark, root, EngineConfig(global_budget=40, max_rounds=2))
+    metrics = eng.run(WG.gen_seeds(16))
+    text = eng.store.prometheus_metrics()
+    assert f"crawl_rounds_total {len(metrics)}" in text
+    total_fetched = sum(m["urls_fetched"] for m in metrics)
+    assert f"crawl_urls_fetched_total {total_fetched}" in text
+    assert f"crawl_urls_fetched_last {metrics[-1]['urls_fetched']}" in text
+    assert 'crawl_table_bytes{table="results"}' in text
+    for line in text.strip().splitlines():
+        assert line.startswith("#") or " " in line  # exposition shape
+
+
+def test_warm_pool(spark):
+    """F8: pool warm-up touches executor workers ahead of the first fetch."""
+    from deepcrawl4ai_spark.frontier.fetcher import warm_pool
+
+    n = warm_pool(spark, "warm_cfg")
+    assert 1 <= n <= spark.sparkContext.defaultParallelism
+
+
 def test_presign_roundtrip():
     url = B.presign("media://x/1", expires_round=7)
     assert url.startswith("blob://media://x/1?expires=7&sig=")
