@@ -191,6 +191,9 @@ class CrawlEngine:
         robots = WG.robots_rows()
         scaled = [r["max_tokens"] * self.cfg.budget_scale for r in robots]
         self._max_budget = max(scaled, default=2)
+        # upper bound on a round's host-capped selection IF every robots
+        # host has queued candidates — gates the optimistic fetch (below)
+        self._sum_host_budgets = sum(scaled)
         self.robots_df = spark.createDataFrame(
             [
                 (r["host"], t, int(r["rps_budget"]) * self.cfg.budget_scale, r["disallow_rules"])
@@ -439,27 +442,36 @@ class CrawlEngine:
         # OPTIMISTIC selection (floor cut): in the politeness-bound regime —
         # the common crawl case — the host-capped set already fits the global
         # budget, so fetch it directly and let an Observation ride along with
-        # that same job to report the selection count. Only if the count
-        # overshoots (budget-bound regime) discard and redo with the exact
-        # distributed top-N. Saves one full pass over the queue per round.
-        from pyspark.sql import Observation
+        # that same job to report the selection count; only an overshoot
+        # (budget-bound round) discards and redoes the exact distributed
+        # top-N. Saves one full pass over the queue per round. Gated by a
+        # driver-side bound: Σ per-host budgets ≤ 2× the round budget, else
+        # a wrong guess wastes an unboundedly large fetch (the bound assumes
+        # robots covers the host universe; unknown-host-heavy frontiers fall
+        # back to count-first).
+        fetched = None
+        if self._sum_host_budgets <= 2 * round_budget:
+            from pyspark.sql import Observation
 
-        obs = Observation(f"sel_r{r}")
-        observed = host_capped.observe(obs, F.count(F.lit(1)).alias("n"))
-        (
-            fetched,
-            popped,
-            n_success,
-            outlinks_seen,
-            per_partition,
-            order_record,
-        ) = _fetch_and_measure(observed)
-        # popped == 0 → the empty plan may have been constant-folded away
-        # (PropagateEmptyRelation prunes the observe node; get would fail),
-        # and 0 rows can't overshoot the budget anyway
-        n_capped = int(obs.get["n"]) if popped > 0 else 0
+            obs = Observation(f"sel_r{r}")
+            observed = host_capped.observe(obs, F.count(F.lit(1)).alias("n"))
+            (
+                fetched,
+                popped,
+                n_success,
+                outlinks_seen,
+                per_partition,
+                order_record,
+            ) = _fetch_and_measure(observed)
+            # popped == 0 → the empty plan may have been constant-folded away
+            # (PropagateEmptyRelation prunes the observe node; get would
+            # fail), and 0 rows can't overshoot the budget anyway
+            n_capped = int(obs.get["n"]) if popped > 0 else 0
+        else:
+            n_capped = host_capped.count()
         if n_capped > round_budget:
-            fetched.unpersist()
+            if fetched is not None:
+                fetched.unpersist()
             selected = distributed_limit(host_capped, round_budget, self.spark, holds)
             (
                 fetched,
@@ -469,6 +481,15 @@ class CrawlEngine:
                 per_partition,
                 order_record,
             ) = _fetch_and_measure(selected)
+        elif fetched is None:  # count-first path and selection fits
+            (
+                fetched,
+                popped,
+                n_success,
+                outlinks_seen,
+                per_partition,
+                order_record,
+            ) = _fetch_and_measure(host_capped)
         for h in holds:
             h.unpersist()
         _mark("select_fetch_metrics")
