@@ -140,6 +140,123 @@ def c7_selector_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F4/F5: page interaction modeled as variant rows (SURVEY §2.7) ----------
+#
+# The reference's infinite-scroll / load-more (actions.py:8-99 / :102-215)
+# re-runs the SAME url in one browser session; each interaction state shows a
+# growing prefix of the page's items, gated by a wait_for items-count
+# predicate. Modeled declaratively: variant v of a doc exposes the first
+# floor(n_spans·(v+1)/V) spans. The engine-side analog (real multi-fetch with
+# a page_variant column + session reuse) is frontier/fetcher.run_fetch_variants;
+# these two queries are the oracle-checkable batch model of the same
+# semantics. All-expression: no explode of span data, no Python.
+
+_F4_VARIANTS = 4  # base load + pages_to_scroll=3 (actions.py:37)
+_F5_VARIANTS = 6  # base load + up to 5 load-more clicks
+_F5_GROWTH = 3  # wait_for: items.length > initial·pages_to_load (actions.py:160)
+
+
+def f4_scroll_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 infinite scroll (reference actions.py:8-99): one row per
+    (doc, page_variant); n_items is the cumulative item count after v
+    scrolls, n_media the image spans visible so far, satisfied the
+    wait-predicate — variant 0's `items >= 0` initial wait, later variants'
+    `items > initial` new-content wait (actions.py:15-17, 44-47)."""
+    V = _F4_VARIANTS
+    docs = _with_spans(load_table(spark, sf_dir, "documents"))
+    var = docs.select(
+        "doc_id",
+        "spans",
+        F.size("spans").alias("n"),
+        F.explode(F.sequence(F.lit(0), F.lit(V - 1))).alias("page_variant"),
+    )
+    cut = F.floor(F.col("n") * (F.col("page_variant") + 1) / V).cast("int")
+    initial = F.floor(F.col("n") / V).cast("int")
+    return var.select(
+        "doc_id",
+        "page_variant",
+        cut.alias("n_items"),
+        F.size(
+            F.filter(
+                F.col("spans"), lambda s: (s["kind"] == "image") & (s["offset"] < cut)
+            )
+        ).alias("n_media"),
+        F.when(F.col("page_variant") == 0, F.lit(True))
+        .otherwise(cut > initial)
+        .alias("satisfied"),
+    )
+
+
+def f5_load_more_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 load-more click loop (reference actions.py:102-215): click until
+    `items > initial·pages_to_load` (actions.py:158-161) or clicks run out.
+    Per doc: n_clicks taken, items_loaded at stop, satisfied (predicate met
+    vs wait-timeout analog). Computed entirely with array expressions —
+    the 'loop' is a filter over the precomputed cut sequence."""
+    V, G = _F5_VARIANTS, _F5_GROWTH
+    docs = _with_spans(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", F.size("spans").alias("n"))
+    cuts = F.transform(
+        F.sequence(F.lit(0), F.lit(V - 1)),
+        lambda v: F.floor(F.col("n") * (v + 1) / V).cast("int"),
+    )
+    initial = F.element_at(cuts, 1)
+    hits = F.filter(
+        F.sequence(F.lit(1), F.lit(V - 1)),
+        lambda v: F.element_at(cuts, v + 1) > initial * G,
+    )
+    n_clicks = F.when(F.size(hits) > 0, F.element_at(hits, 1)).otherwise(
+        F.lit(V - 1)
+    )
+    return base.select(
+        "doc_id",
+        n_clicks.alias("n_clicks"),
+        F.element_at(cuts, n_clicks + 1).alias("items_loaded"),
+        (F.size(hits) > 0).alias("satisfied"),
+    )
+
+
+def c8_lxml_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 scraping-strategy swap (reference tasks.py:593, api.py:233,335:
+    LXMLWebScrapingStrategy replaces the default parser — a physical choice
+    with identical output). Here the alternate 'parser' is an Arrow-batched
+    Python implementation of the same span parse that C1/C6 run as Catalyst
+    expressions; the oracle proves the two strategies byte-equal. Arrow
+    batches via mapInPandas — no row-at-a-time UDF API."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def parse(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "offset": [],
+                "kind": [],
+                "span_text": [],
+                "media_ref": [],
+            }
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                words = t.split(" ") if t is not None else []
+                for g in range(len(words) // 4):
+                    is_img = hashlib.md5(f"{d}:{g}".encode()).hexdigest()[0] in "0123"
+                    out["doc_id"].append(d)
+                    out["offset"].append(g)
+                    out["kind"].append("image" if is_img else "text")
+                    out["span_text"].append(
+                        "" if is_img else " ".join(words[g * 4 : g * 4 + 4])
+                    )
+                    out["media_ref"].append(f"media://{d}/{g}" if is_img else "")
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        parse,
+        "doc_id long, offset int, kind string, span_text string, media_ref string",
+    )
+
+
 # --- TPC-H classics (Catalyst benchmark anchors) -----------------------------
 
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -716,6 +716,77 @@ _q(
 )
 
 _q(
+    "f4_scroll_variants",
+    SP.f4_scroll_variants,
+    _SPAN_CTE
+    + """
+    , var AS (
+      SELECT doc_id, n_groups, unnest(generate_series(0, 3)) AS v FROM w
+    ),
+    c AS (
+      SELECT doc_id, n_groups, CAST(v AS INT) AS page_variant,
+             CAST(floor(n_groups * (v + 1) / 4.0) AS INT) AS n_items,
+             CAST(floor(n_groups / 4.0) AS INT) AS initial
+      FROM var
+    )
+    SELECT c.doc_id, c.page_variant, c.n_items,
+           coalesce(m.n_media, 0) AS n_media,
+           CASE WHEN c.page_variant = 0 THEN TRUE
+                ELSE c.n_items > c.initial END AS satisfied
+    FROM c LEFT JOIN (
+      SELECT c2.doc_id, c2.page_variant, count(*) AS n_media
+      FROM c c2 JOIN sp
+        ON sp.doc_id = c2.doc_id AND sp.is_image AND sp."offset" < c2.n_items
+      GROUP BY 1, 2
+    ) m ON m.doc_id = c.doc_id AND m.page_variant = c.page_variant
+    """,
+)
+
+_q(
+    "f5_load_more_clicks",
+    SP.f5_load_more_clicks,
+    _SPAN_CTE
+    + """
+    , var AS (
+      SELECT doc_id, n_groups, unnest(generate_series(1, 5)) AS v FROM w
+    ),
+    cut AS (
+      SELECT doc_id, v,
+             CAST(floor(n_groups * (v + 1) / 6.0) AS INT) AS items,
+             CAST(floor(n_groups / 6.0) AS INT) AS initial
+      FROM var
+    ),
+    hit AS (
+      SELECT doc_id, min(v) AS hit_v FROM cut WHERE items > 3 * initial
+      GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(coalesce(h.hit_v, 5) AS INT) AS n_clicks,
+           CAST(CASE WHEN h.hit_v IS NOT NULL
+                THEN floor(w.n_groups * (h.hit_v + 1) / 6.0)
+                ELSE w.n_groups END AS INT) AS items_loaded,
+           h.hit_v IS NOT NULL AS satisfied
+    FROM w LEFT JOIN hit h USING (doc_id)
+    """,
+)
+
+_q(
+    "c8_lxml_strategy",
+    SP.c8_lxml_strategy,
+    _SPAN_CTE
+    + """
+    SELECT doc_id, "offset",
+           CASE WHEN is_image THEN 'image' ELSE 'text' END AS kind,
+           CASE WHEN is_image THEN '' ELSE span_text END AS span_text,
+           CASE WHEN is_image
+                THEN 'media://' || CAST(doc_id AS VARCHAR) || '/' ||
+                     CAST("offset" AS VARCHAR)
+                ELSE '' END AS media_ref
+    FROM sp
+    """,
+)
+
+_q(
     "tpch_q1",
     SP.tpch_q1,
     """
