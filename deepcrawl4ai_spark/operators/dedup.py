@@ -137,6 +137,75 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup at scale: a 32-bit signature (same plane family as
+    dedup_simhash, widened — 16 bits saturates on collisions beyond toy
+    corpora) banded into 8×4-bit buckets; candidate pairs share ≥1 band
+    (equi-join — the pair space collapses exactly like MinHash LSH), then
+    verify Hamming distance ≤ 3 via bit_count(xor). Banding guarantee: a
+    pair within hamming ≤ 7 has ≥1 untouched band, so recall at the ≤3
+    threshold is 100% — the band join is a pure pruning step, never a
+    correctness filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    w = w.select("doc_id", _hex_hash(F.col("word")).alias("wx"))
+    planes = F.array(
+        *[
+            F.struct(F.lit(b).alias("b"), F.lit(1 << b).cast("long").alias("p2"))
+            for b in range(32)
+        ]
+    )
+    bits = w.select("doc_id", "wx", F.explode(planes).alias("bp")).select(
+        "doc_id", "wx", F.col("bp.b").alias("b"), F.col("bp.p2").alias("p2")
+    )
+    contrib = F.when((F.col("wx") % (F.col("p2") * 2)) >= F.col("p2"), 1).otherwise(-1)
+    per_bit = bits.groupBy("doc_id", "b", "p2").agg(F.sum(contrib).alias("s"))
+    bitval = F.when(F.col("s") > 0, F.col("p2")).otherwise(0)
+    sig = (
+        per_bit.groupBy("doc_id")
+        .agg(F.sum(bitval).alias("simhash"))
+        .select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (F.shiftright(F.col("simhash"), 4 * i) % 16)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return cand.select("doc1", "doc2", ham.cast("int").alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup with lang blocking: pairs sharing ≥1 word
     3-gram within the same lang; jaccard = |∩| / |∪| over distinct shingles."""

@@ -374,6 +374,43 @@ _q(
 )
 
 _q(
+    "dedup_simhash_banded",
+    D.dedup_simhash_banded,
+    """
+    WITH wx AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS wx
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (wx >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      FROM wx CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, simhash, b AS band,
+             CAST((simhash >> (4 * b)) % 16 AS INT) AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+             a.simhash AS s1, b.simhash AS s2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+    """,
+)
+
+_q(
     "dedup_ngram_jaccard",
     D.dedup_ngram_jaccard,
     """
