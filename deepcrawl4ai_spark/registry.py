@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from deepcrawl4ai_spark.operators import relational as R
+from deepcrawl4ai_spark.operators import temporal as TM
 from deepcrawl4ai_spark.operators import urlops as U
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1075,5 +1076,71 @@ _q(
            count(*) FILTER (WHERE event_type = 'error') AS error,
            count(*) FILTER (WHERE event_type = 'purchase') AS purchase
     FROM events GROUP BY user_id
+    """,
+)
+
+# --- temporal family (as-of join, sessionization, dataset split) -----------
+
+_q(
+    "asof_join_events",
+    TM.asof_join_events,
+    """
+    WITH v AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rk
+        FROM events WHERE event_type = 'view'
+      ) WHERE rk = 1
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts, value AS click_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.click_id, c.user_id, c.click_ts, c.click_value,
+           v.value AS last_view_value
+    FROM c ASOF LEFT JOIN v
+      ON c.user_id = v.user_id AND c.click_ts >= v.ts
+    """,
+)
+
+_q(
+    "sessionize_events",
+    TM.sessionize_events,
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+      FROM o
+    )
+    SELECT user_id, session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+
+_q(
+    "train_split_docs",
+    TM.train_split_docs,
+    """
+    SELECT doc_id, lang,
+           CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10 AS b
+      FROM documents
+    )
     """,
 )
