@@ -192,3 +192,50 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid")
     )
     return assigned.groupBy("cid").agg(F.count("*").alias("cluster_size"))
+
+
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with multi-probe (probe=2): queries search their TWO
+    nearest centroids' clusters instead of one — the standard recall lever
+    when the true neighbor sits just across a Voronoi boundary. Corpus
+    assignment stays probe-1 (each vector lives in exactly one cluster);
+    only the tiny query side fans out, so the scale shape is unchanged:
+    broadcast centroids + broadcast queries, cost ∝ probed-cluster sizes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nrm")
+    )
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cos_c = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    w1 = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", "cid", cos_c.alias("cos_c"))
+        .withColumn("rk", F.row_number().over(w1))
+    )
+    corpus = ranked.filter((F.col("rk") == 1) & (F.col("vec_id") >= 10)).select(
+        "vec_id", "v", "nrm", "cid"
+    )
+    q = ranked.filter((F.col("rk") <= 2) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cid").alias("qcid"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = corpus.join(F.broadcast(q), F.col("cid") == F.col("qcid")).select(
+        "qid", "vec_id", cos.alias("cos_raw")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -966,6 +966,41 @@ _q(
 )
 
 _q(
+    "ann_ivf_multiprobe",
+    S.ann_ivf_multiprobe,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0
+    ),
+    ranked AS (
+      SELECT e.vec_id, e.v, e.nrm, cents.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_DOT.format(a='e.v', b='cents.cv')} / (e.nrm * cents.cn)
+                 DESC, cents.cid ASC) AS rk
+      FROM e CROSS JOIN cents
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id,
+             {_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cos_raw
+      FROM (SELECT * FROM ranked WHERE rk <= 2 AND vec_id < 10) q
+      JOIN (SELECT * FROM ranked WHERE rk = 1 AND vec_id >= 10) c
+        ON q.cid = c.cid
+    )
+    SELECT qid, vec_id, round(cos_raw, 6) AS cosine, rk FROM (
+      SELECT qid, vec_id, cos_raw,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_raw DESC, vec_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+
+_q(
     "dedup_embedding_lsh",
     D.dedup_embedding_lsh,
     f"""
