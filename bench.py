@@ -60,10 +60,14 @@ def main() -> None:
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 16))
 
-    # untimed warmup: JIT/codegen + parquet footer cache, so the first timed
+    # untimed warmup: JIT/codegen + parquet footer cache + python/Arrow
+    # workers (one per core — the F8 warm-up analog), so the first timed
     # query measures the operator, not session cold-start
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+    from deepcrawl4ai_spark.frontier.fetcher import warm_pool
+
+    warm_pool(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     per_query: dict[str, float] = {}
