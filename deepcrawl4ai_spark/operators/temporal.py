@@ -108,3 +108,28 @@ def train_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return docs.select("doc_id", "lang", split.alias("split"))
+
+
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 30-min-gap sessionization via Spark's NATIVE session_window
+    aggregate (usable in batch and Structured Streaming alike) — one
+    hash-aggregate with a merging session buffer instead of two window
+    passes. Output keys on the session's start; counts and sums must equal
+    sessionize_events' composition row-for-row (the oracle is the same
+    closed form). Boundary nuance: native splits at diff >= gap, the
+    composition at diff > gap — distinguishable only by a diff of exactly
+    30:00.000000, which µs-grained event data never hits."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

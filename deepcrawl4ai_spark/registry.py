@@ -1165,6 +1165,30 @@ _q(
 )
 
 _q(
+    "sessionize_native",
+    TM.sessionize_native,
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+
+_q(
     "train_split_docs",
     TM.train_split_docs,
     """
