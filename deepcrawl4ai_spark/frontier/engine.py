@@ -93,7 +93,14 @@ class EngineConfig:
     # keeps its own top-budget and the exact per-host pass then ranks only
     # ≤ salt_splits × budget survivors. Physical only: results are identical
     # (any row in the host's true top-budget is inside its salt's top-budget).
-    salt_threshold: int = 64
+    # Calibration: WindowGroupLimit already map-side-caps the UNSALTED
+    # window's shuffle to ≤ budget × map-partitions rows per host, so a
+    # host reducer's sort is bounded regardless — the pre-stage (a second
+    # full shuffle of the due set EVERY round) only pays once that bounded
+    # sort itself is large, i.e. budgets in the 10^5+ range on wide inputs.
+    # Profiled at budget≈2k/32 maps the pre-stage was pure overhead
+    # (~3-5 s/round at 16 cores); tests opt in with a small threshold.
+    salt_threshold: int = 100_000
     salt_splits: int = 16
     # R3/R4 token bucket (reference TokenBucket, redisCache.py:85-89): when
     # on, a host's round budget is min(capacity, tokens + refill) with the

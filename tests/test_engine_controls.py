@@ -196,7 +196,9 @@ def test_hot_host_salting_golden(spark, tmp_path_factory):
     )
     sim = simulate(WG.gen_seeds(64), SimConfig(max_rounds=2, **cfg))
     root = str(tmp_path_factory.mktemp("salt"))
-    eng = CrawlEngine(spark, root, EngineConfig(max_rounds=2, **cfg))
+    # opt into the salt path at test scale (default threshold is calibrated
+    # for 10^5+ budgets where the extra pre-stage shuffle actually pays)
+    eng = CrawlEngine(spark, root, EngineConfig(max_rounds=2, salt_threshold=64, **cfg))
     assert eng._max_budget > eng.cfg.salt_threshold  # salt path engaged
     metrics = eng.run(WG.gen_seeds(64))
     assert len(metrics) == len(sim.round_metrics)
