@@ -150,8 +150,33 @@ class CheckpointStore:
         " outlinks_seen long, dedup_dropped long, new_frontier long, state string"
     )
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
-        snap = self.current_snapshot()
+    def snapshot_at(self, round_id: int) -> dict | None:
+        """The immutable manifest committed at *round_id* (None if never
+        committed or already expired) — the Iceberg snapshot-id lookup."""
+        p = os.path.join(self.root, "_snapshots", f"r{round_id:05d}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def read_as_of(
+        self, spark: SparkSession, table: str, round_id: int
+    ) -> DataFrame | None:
+        """Iceberg time travel (``SELECT … FOR VERSION AS OF``): the table
+        exactly as the crawl committed it at the END of *round_id*, served
+        from that round's immutable snapshot manifest. Availability is
+        bounded by snapshot retention (expire_snapshots) — same contract as
+        Iceberg's expire_snapshots."""
+        snap = self.snapshot_at(round_id)
+        if snap is None:
+            return None
+        return self.read(spark, table, snap=snap)
+
+    def read(
+        self, spark: SparkSession, table: str, snap: dict | None = None
+    ) -> DataFrame | None:
+        if snap is None:
+            snap = self.current_snapshot()
         if snap is None:
             return None
         if table == "rounds" and table not in snap["tables"]:
@@ -169,13 +194,13 @@ class CheckpointStore:
                     m.get("state", "committed"),
                 )
                 for m in self.round_metrics()
-                if m.get("round", -1) >= 0
+                if 0 <= m.get("round", -1) <= snap["round"]
             ]
             return spark.createDataFrame(rows, self.ROUNDS_SCHEMA)
         if table == "frontier":
             # logical view: live queue ∪ terminal rows (same columns)
-            active = self.read(spark, "active")
-            done = self.read(spark, "done")
+            active = self.read(spark, "active", snap=snap)
+            done = self.read(spark, "done", snap=snap)
             if active is None:
                 return done
             if done is None:

@@ -70,6 +70,41 @@ def test_expire_snapshots(spark, tmp_path_factory):
     assert eng2.run() == []  # already at max_rounds — nothing re-runs
 
 
+def test_time_travel_read_as_of(spark, tmp_path_factory):
+    """Iceberg time-travel analog: read_as_of(round) serves each table from
+    that round's immutable manifest — results grow append-only round over
+    round, the frontier view is consistent per round, and expired snapshots
+    stop resolving."""
+    root = str(tmp_path_factory.mktemp("asof"))
+    eng = CrawlEngine(spark, root, EngineConfig(max_rounds=3, **CFG))
+    metrics = eng.run(WG.gen_seeds(32))
+    assert len(metrics) == 3
+    store = eng.store
+    cum_fetched = 0
+    prev_results = 0
+    for r, m in enumerate(metrics):
+        cum_fetched += m["urls_fetched"]
+        res = store.read_as_of(spark, "results", r)
+        n_res = res.count()
+        assert n_res == cum_fetched  # append-only growth, exact per round
+        assert n_res >= prev_results
+        prev_results = n_res
+        # frontier view as-of r = that round's active ∪ done
+        f = store.read_as_of(spark, "frontier", r).count()
+        a = store.read_as_of(spark, "active", r).count()
+        d = store.read_as_of(spark, "done", r).count()
+        assert f == a + d
+        # rounds lineage as-of r stops at r
+        rounds = store.read_as_of(spark, "rounds", r).collect()
+        assert max(x["round"] for x in rounds) == r
+    # current read == as-of the last round
+    assert store.read(spark, "results").count() == prev_results
+    # expiry bounds time travel exactly like Iceberg
+    store.expire_snapshots(keep_last=1)
+    assert store.read_as_of(spark, "results", 0) is None
+    assert store.read_as_of(spark, "results", 2).count() == prev_results
+
+
 def test_config_signature_and_safe_load():
     from deepcrawl4ai_spark.functions.config import (
         config_signature,
