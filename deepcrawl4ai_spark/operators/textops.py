@@ -130,3 +130,49 @@ def c3_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     score = F.round(bm25(F.col("tf1"), F.col("df1")) + bm25(F.col("tf2"), F.col("df2")), 6)
     return j.select("doc_id", score.alias("bm25")).filter(F.col("bm25") > 0)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign consecutive docs (per lang, doc_id
+    order) to fixed token-budget shards of 4096 whitespace tokens — the
+    contiguous streaming packer an LLM data pipeline runs before writing
+    training shards. shard = floor(tokens_before_this_doc / budget), so a
+    shard takes whole docs until the budget is crossed (standard greedy
+    packing; a doc can straddle the boundary and closes its shard).
+    One window shuffle on lang; the running sum is whole-stage codegen."""
+    from pyspark.sql import Window as W
+
+    budget = 4096
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(n_tokens).over(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.floor((cum - n_tokens) / budget).cast("int").alias("shard"),
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-lang keep rates applied via a
+    content-independent md5 bucket of doc_id — reproducible across engines
+    and runs (no RNG state), embarrassingly parallel (no shuffle). The
+    standard down-sample step when balancing a multilingual corpus."""
+    rates = {"en": 90, "de": 50, "fr": 50, "es": 50}  # percent kept, default 25
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":s"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in rates.items()],
+        F.lit(25),
+    )
+    return docs.filter(bucket < rate).select("doc_id", "lang")

@@ -553,6 +553,35 @@ _q(
 )
 
 _q(
+    "pack_sequences",
+    X.pack_sequences,
+    """
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(floor((sum(len(string_split(text, ' ')))
+                         OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING)
+                       - len(string_split(text, ' '))) / 4096) AS INT) AS shard
+    FROM documents
+    """,
+)
+
+_q(
+    "sample_stratified",
+    X.sample_stratified,
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s'), 1, 8))
+                  AS BIGINT) % 100 AS b
+      FROM documents
+    )
+    WHERE b < CASE lang WHEN 'en' THEN 90 WHEN 'de' THEN 50
+                        WHEN 'fr' THEN 50 WHEN 'es' THEN 50 ELSE 25 END
+    """,
+)
+
+_q(
     "text_quality_score",
     X.text_quality_score,
     """
