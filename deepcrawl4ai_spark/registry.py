@@ -1143,6 +1143,55 @@ _q(
     """,
 )
 
+from deepcrawl4ai_spark.operators import graph as G  # noqa: E402
+
+_q("host_pagerank", G.host_pagerank, """
+    WITH links AS (
+      SELECT DISTINCT 'h' || CAST(o_custkey % 10 AS VARCHAR) AS src,
+             'h' || CAST(o_orderkey % 13 AS VARCHAR) AS dst
+      FROM orders
+    ),
+    nodes AS (
+      SELECT DISTINCT h FROM (
+        SELECT src AS h FROM links UNION SELECT dst FROM links
+      )
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM links GROUP BY src),
+    r0 AS (SELECT h, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+    r1 AS (
+      SELECT nodes.h,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT l.dst AS h, sum(r0.rank / deg.outdeg) AS c
+        FROM links l JOIN deg ON l.src = deg.src JOIN r0 ON l.src = r0.h
+        GROUP BY l.dst
+      ) c ON nodes.h = c.h
+    ),
+    r2 AS (
+      SELECT nodes.h,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT l.dst AS h, sum(r1.rank / deg.outdeg) AS c
+        FROM links l JOIN deg ON l.src = deg.src JOIN r1 ON l.src = r1.h
+        GROUP BY l.dst
+      ) c ON nodes.h = c.h
+    ),
+    r3 AS (
+      SELECT nodes.h,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT l.dst AS h, sum(r2.rank / deg.outdeg) AS c
+        FROM links l JOIN deg ON l.src = deg.src JOIN r2 ON l.src = r2.h
+        GROUP BY l.dst
+      ) c ON nodes.h = c.h
+    )
+    SELECT h AS host, round(rank, 6) AS rank FROM r3
+    """)
+
 # --- temporal family (as-of join, sessionization, dataset split) -----------
 
 _q(

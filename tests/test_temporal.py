@@ -70,6 +70,38 @@ def test_train_split_deterministic_and_proportional(spark):
     assert 0.6 < frac_train < 0.95  # 80% nominal, small-sample slack
 
 
+def test_asof_join_tie_breaks(spark, tmp_path):
+    """Hand-built boundary cases — the places as-of implementations diverge:
+    a view at EXACTLY the click's ts matches (backward-inclusive); among
+    equal-ts views the highest event_id wins; a view strictly after the
+    click never matches."""
+    import datetime as dt
+
+    from deepcrawl4ai_spark.operators.temporal import asof_join_events
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, t, 1, "view", 10.0, "{}"),
+        (2, t, 1, "view", 20.0, "{}"),       # same ts, higher id → wins ties
+        (3, t, 1, "click", 0.0, "{}"),       # same-ts click → sees view 2
+        (4, t + sec, 1, "view", 30.0, "{}"),  # after click 3, before click 5
+        (5, t + 2 * sec, 1, "click", 0.0, "{}"),
+        (6, t + 3 * sec, 2, "view", 99.0, "{}"),
+        (7, t + 2 * sec, 2, "click", 0.0, "{}"),  # view is in the future → null
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["click_id"]: r["last_view_value"]
+        for r in asof_join_events(spark, str(tmp_path)).collect()
+    }
+    assert out == {3: 20.0, 5: 30.0, 7: None}
+
+
 def test_f4_variants_monotone_and_complete(spark):
     """Scroll variants accumulate: n_items non-decreasing in page_variant,
     final variant exposes the whole page, n_media ≤ n_items."""
