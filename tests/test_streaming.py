@@ -249,6 +249,63 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
         assert batch[k] == v
 
 
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """The sessionize_native operator's session_window aggregate runs
+    unchanged under Structured Streaming (watermark + append mode) and every
+    emitted closed session equals the batch computation — the temporal
+    family's batch/streaming-shared contract."""
+    from pyspark.sql import functions as F
+
+    from deepcrawl4ai_spark.sources.tables import load_table
+
+    events = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "ts", "value")
+    )
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in sessions(events).collect()
+    }
+    src = str(tmp_path / "sess_stream")
+    events.write.parquet(src)
+    sdf = spark.readStream.schema(events.schema).parquet(src).withWatermark(
+        "ts", "1 hour"
+    )
+    q = (
+        sessions(sdf)
+        .writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert batch[k] == v
+
+
 def test_stateful_stream_dedup(spark, tmp_path):
     """applyInPandasWithState cross-batch dedup (T4/J1 streaming mirror of
     J3): duplicates inside a batch are dropped, and state survives a query
