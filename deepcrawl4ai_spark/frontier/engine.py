@@ -276,6 +276,120 @@ class CrawlEngine:
         )
         frontier.unpersist()
 
+    def resubmit(self, urls: list[str], bypass_cache: bool = False) -> dict:
+        """X9 cache-mode analog (reference ``CacheMode.ENABLED/BYPASS``,
+        tasks.py:182, api.py:229): enqueue *urls* into an existing crawl.
+
+        ENABLED (default): the seen set IS the fetch cache — already-seen
+        URLs are skipped, unseen ones join the queue. BYPASS: URLs whose
+        terminal record sits in the append-only ``done`` log are re-queued
+        as a fresh submission (attempt reset, due next round); the old
+        terminal row stays in ``done`` and the re-fetch appends a second
+        results row — a crawl-refresh, exactly the reference's BYPASS
+        re-crawl with history retained. URLs still queued are never
+        duplicated. Commits as its own snapshot round (resume-safe)."""
+        last = self.store.last_round()
+        if last is None:
+            raise ValueError("no checkpoint — submit seeds first")
+        r = last + 1
+        rows = WG.seed_frontier_rows(urls)
+        urls_df = self.spark.createDataFrame(
+            [
+                (
+                    x["url_norm"],
+                    x["url_hash"],
+                    x["url_norm"].split("://", 1)[1].split("/", 1)[0],
+                    x["score"],
+                )
+                for x in rows
+            ],
+            "url_norm string, url_hash string, host string, score double",
+        ).persist()
+        # seen check against the exact log, pruned to the buckets of the
+        # submitted hashes (known driver-side — the list is an API edge)
+        buckets = sorted({int(x["url_hash"][:4], 16) % bloom.SEEN_BUCKETS for x in rows})
+        seen = self.store.read(self.spark, "seen_hashes")
+        if "bucket" in seen.columns and len(buckets) < bloom.SEEN_BUCKETS:
+            seen = seen.filter(F.col("bucket").isin(buckets))
+        fresh = (
+            urls_df.join(seen.select("url_hash"), "url_hash", "left_anti")
+            .select(
+                "url_norm",
+                "url_hash",
+                "host",
+                F.lit(0).alias("depth"),
+                "score",
+                F.lit(r + 1).alias("due_round"),
+                F.lit("queued").alias("state"),
+                F.lit(r + 1).alias("round_added"),
+                F.lit(0).alias("attempt"),
+            )
+            .persist()
+        )
+        n_fresh = fresh.count()
+        requeued = self.spark.createDataFrame([], self._frontier_schema())
+        n_requeued = 0
+        if bypass_cache:
+            done = self.store.read(self.spark, "done")
+            if done is not None:
+                w = W.partitionBy("url_hash").orderBy(
+                    F.col("round_added").desc(), F.col("attempt").desc()
+                )
+                requeued = (
+                    done.join(urls_df.select("url_hash"), "url_hash", "left_semi")
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select(
+                        "url_norm",
+                        "url_hash",
+                        "host",
+                        "depth",
+                        "score",
+                        F.lit(r + 1).alias("due_round"),
+                        F.lit("queued").alias("state"),
+                        F.lit(r + 1).alias("round_added"),
+                        F.lit(0).alias("attempt"),
+                    )
+                    .persist()
+                )
+                n_requeued = requeued.count()
+        active = (
+            self.store.read(self.spark, "active")
+            .unionByName(fresh)
+            .unionByName(requeued)
+        )
+        filters = self.store.read(self.spark, "seen_filter")
+        new_filters = bloom.add_to_filters(filters, fresh.select("url_hash"), r)
+        overwrite = {"active": active, "seen_filter": new_filters}
+        host_state = self.store.read(self.spark, "host_state")
+        if host_state is not None:
+            overwrite["host_state"] = host_state
+        metrics = {
+            "round": r,
+            "state": "resubmitted",
+            "resubmitted": len(rows),
+            "new_frontier": n_fresh,
+            "requeued": n_requeued,
+        }
+        self.store.commit_round(
+            r,
+            overwrite=overwrite,
+            append={
+                "results": self.spark.createDataFrame([], self._results_schema()),
+                "done": self.spark.createDataFrame([], self._frontier_schema()),
+                "seen_hashes": fresh.select(
+                    "url_hash", bloom.seen_bucket_col(F.col("url_hash"))
+                ),
+            },
+            metrics=metrics,
+        )
+        for df in (urls_df, fresh, requeued):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — empty frames have no storage
+                pass
+        return metrics
+
     @staticmethod
     def _frontier_schema() -> str:
         return (

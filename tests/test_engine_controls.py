@@ -70,6 +70,51 @@ def test_expire_snapshots(spark, tmp_path_factory):
     assert eng2.run() == []  # already at max_rounds — nothing re-runs
 
 
+def test_resubmit_cache_modes(spark, tmp_path_factory):
+    """X9 CacheMode analog: ENABLED resubmission of a seen URL is a no-op
+    (the seen set is the cache); BYPASS re-queues a fetched URL and the next
+    round fetches it AGAIN (second results row, old done row retained);
+    an unseen URL enqueues under either mode."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("resub"))
+    eng = CrawlEngine(spark, root, EngineConfig(max_rounds=20, **CFG))
+    # bound the crawl: run 2 rounds' worth by cancelling via on_round
+    seen_rounds = []
+
+    def stop_after_two(m):
+        seen_rounds.append(m)
+        if len(seen_rounds) >= 2:
+            eng.cancel()
+
+    eng.run(WG.gen_seeds(16), on_round=stop_after_two)
+    fetched_url = (
+        eng.store.read(spark, "done")
+        .filter(F.col("state") == "fetched")
+        .select("url_norm")
+        .head()["url_norm"]
+    )
+    n_results = eng.store.read(spark, "results").count()
+
+    # ENABLED: seen URL skipped entirely
+    m1 = eng.resubmit([fetched_url], bypass_cache=False)
+    assert m1["new_frontier"] == 0 and m1["requeued"] == 0
+
+    # BYPASS: the same URL re-queues and is re-fetched next round
+    m2 = eng.resubmit([fetched_url], bypass_cache=True)
+    assert m2["new_frontier"] == 0 and m2["requeued"] == 1
+    eng2 = CrawlEngine(spark, root, EngineConfig(max_rounds=m2["round"] + 2, **CFG))
+    eng2.run()
+    res = eng2.store.read(spark, "results")
+    assert res.filter(F.col("url") == fetched_url).count() == 2  # both versions
+    assert res.count() > n_results
+    # old terminal row retained in the append-only done log
+    done_rows = (
+        eng2.store.read(spark, "done").filter(F.col("url_norm") == fetched_url).count()
+    )
+    assert done_rows == 2
+
+
 def test_time_travel_read_as_of(spark, tmp_path_factory):
     """Iceberg time-travel analog: read_as_of(round) serves each table from
     that round's immutable manifest — results grow append-only round over
