@@ -257,6 +257,25 @@ def c8_lxml_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c4_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 chunking plan (reference crawl.py:355-366; multimodal/media.py
+    chunk_text): per doc, the number of 1200-char chunks at 0.1 overlap
+    (step 1080) and the final chunk's length — the deterministic part of
+    the LLM-extraction pipeline, closed-form on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_chunks = F.when(n <= 1200, F.lit(1)).otherwise(
+        F.ceil(n / F.lit(1080.0)).cast("int")
+    )
+    last_chars = F.when(n <= 1200, n).otherwise(n - 1080 * (n_chunks - 1))
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars"),
+        n_chunks.alias("n_chunks"),
+        last_chars.cast("int").alias("last_chunk_chars"),
+    )
+
+
 # --- TPC-H classics (Catalyst benchmark anchors) -----------------------------
 
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:

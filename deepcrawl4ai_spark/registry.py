@@ -854,6 +854,20 @@ _q(
 )
 
 _q(
+    "c4_chunk_plan",
+    SP.c4_chunk_plan,
+    """
+    SELECT doc_id, len(text) AS n_chars,
+           CASE WHEN len(text) <= 1200 THEN 1
+                ELSE CAST(ceil(len(text) / 1080.0) AS INT) END AS n_chunks,
+           CAST(CASE WHEN len(text) <= 1200 THEN len(text)
+                ELSE len(text) - 1080 * (CAST(ceil(len(text) / 1080.0) AS INT) - 1)
+                END AS INT) AS last_chunk_chars
+    FROM documents
+    """,
+)
+
+_q(
     "tpch_q1",
     SP.tpch_q1,
     """
