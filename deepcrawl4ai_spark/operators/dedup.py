@@ -372,3 +372,40 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return verified.filter(F.col("jaccard") >= 0.04)
+
+
+def dedup_clusters_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over the verified near-dup pair graph: 3-hop
+    min-label propagation — cluster = smallest doc_id within 3 hops, which
+    for dedup survivor selection IS the keeper id (keep rows where
+    cluster == doc_id). Unrolled fixed hops so the DuckDB oracle reproduces
+    the arithmetic exactly; real dup clusters are tiny (pairs/triples), so
+    3 hops is full convergence there — at open-ended scale the same
+    per-iteration plan (join + min partial-agg, the Pregel shape) loops to
+    fixpoint. Docs with no near-dup stay their own cluster."""
+    pairs = dedup_minhash_verified(spark, sf_dir).select("doc1", "doc2")
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+        )
+        .distinct()
+        .persist()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))
+    for _ in range(3):
+        nbr_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "doc1").select("doc1", "cluster"),
+                "doc1",
+            )
+            .groupBy(F.col("doc2").alias("doc_id"))
+            .agg(F.min("cluster").alias("nbr"))
+        )
+        labels = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("cluster"), F.coalesce(F.col("nbr"), F.col("cluster"))).alias(
+                "cluster"
+            ),
+        )
+    return labels

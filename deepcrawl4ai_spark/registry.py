@@ -1121,6 +1121,38 @@ def _minhash_verified_sql() -> str:
 
 _q("dedup_minhash_verified", D.dedup_minhash_verified, _minhash_verified_sql())
 
+
+def _clusters_lp_sql() -> str:
+    inner = _minhash_verified_sql()
+    base = f"""
+    WITH pairs AS (SELECT doc1, doc2 FROM (
+    {inner}
+    ) vp),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION SELECT doc2, doc1 FROM pairs
+    ),
+    l0 AS (SELECT doc_id, doc_id AS cluster FROM documents)"""
+    prev = "l0"
+    for i in range(1, 4):
+        base += f""",
+    l{i} AS (
+      SELECT {prev}.doc_id,
+             least({prev}.cluster, coalesce(m.mn, {prev}.cluster)) AS cluster
+      FROM {prev} LEFT JOIN (
+        SELECT e.dst AS doc_id, min({prev}.cluster) AS mn
+        FROM edges e JOIN {prev} ON e.src = {prev}.doc_id GROUP BY e.dst
+      ) m USING (doc_id)
+    )"""
+        prev = f"l{i}"
+    base += """
+    SELECT doc_id, cluster FROM l3
+    """
+    return base
+
+
+_q("dedup_clusters_lp", D.dedup_clusters_lp, _clusters_lp_sql())
+
 _q(
     "tpch_q6",
     SP.tpch_q6,
