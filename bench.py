@@ -39,6 +39,16 @@ HEADLINE = [
     "c3_bm25_rank",
 ]
 
+# round-2 operators, timed AFTER the headline window so `value` stays
+# comparable across rounds; reported under "extras"
+EXTRAS = [
+    "asof_join_events",
+    "sessionize_native",
+    "dedup_simhash_banded",
+    "host_pagerank",
+    "pack_sequences",
+]
+
 FRONTIER_SEEDS = 2000
 FRONTIER_ROUNDS = 3
 FRONTIER_BUDGET = 4000
@@ -104,6 +114,11 @@ def main() -> None:
         shutil.rmtree(store, ignore_errors=True)
 
     total = round(time.time() - t_suite, 3)
+    extras: dict[str, float] = {}
+    for name in EXTRAS:
+        t0 = time.time()
+        _force(QUERIES[name](spark, SF_DIR))
+        extras[name] = round(time.time() - t0, 3)
     print(
         json.dumps(
             {
@@ -111,6 +126,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "extras": extras,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "urls_per_sec": urls_per_sec,
                 "frontier_rounds": FRONTIER_ROUNDS,
