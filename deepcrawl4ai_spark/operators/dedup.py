@@ -111,30 +111,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per doc from word hashes (+1/-1 per bit, sign → bit)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _simhash_sig(docs: DataFrame, n_bits: int) -> DataFrame:
+    """(doc_id, simhash) with an *n_bits* signature — ONE groupBy with one
+    conditional-sum column per bit plane (the minhash multi-agg idiom): no
+    plane explode, so shuffle volume is 1× the word rows, not n_bits×.
+    Same ±1-per-bit/sign math as the DuckDB oracles."""
     w = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
     w = w.select("doc_id", _hex_hash(F.col("word")).alias("wx"))
-    # (b, 2^b) pairs as a literal array — keeps bit extraction in exact
-    # integer arithmetic (shiftright/shiftleft need literal counts)
-    planes = F.array(
-        *[
-            F.struct(F.lit(b).alias("b"), F.lit(1 << b).cast("long").alias("p2"))
-            for b in range(16)
-        ]
-    )
-    bits = w.select("doc_id", "wx", F.explode(planes).alias("bp")).select(
-        "doc_id", "wx", F.col("bp.b").alias("b"), F.col("bp.p2").alias("p2")
-    )
-    contrib = F.when((F.col("wx") % (F.col("p2") * 2)) >= F.col("p2"), 1).otherwise(-1)
-    per_bit = bits.groupBy("doc_id", "b", "p2").agg(F.sum(contrib).alias("s"))
-    bitval = F.when(F.col("s") > 0, F.col("p2")).otherwise(0)
-    return (
-        per_bit.groupBy("doc_id")
-        .agg(F.sum(bitval).alias("simhash"))
-        .select("doc_id", F.col("simhash").cast("long").alias("simhash"))
-    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("wx"), b) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    per_doc = w.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc from word hashes (+1/-1 per bit, sign → bit)."""
+    return _simhash_sig(load_table(spark, sf_dir, "documents"), 16)
 
 
 def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,26 +148,7 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair within hamming ≤ 7 has ≥1 untouched band, so recall at the ≤3
     threshold is 100% — the band join is a pure pruning step, never a
     correctness filter."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
-    w = w.select("doc_id", _hex_hash(F.col("word")).alias("wx"))
-    planes = F.array(
-        *[
-            F.struct(F.lit(b).alias("b"), F.lit(1 << b).cast("long").alias("p2"))
-            for b in range(32)
-        ]
-    )
-    bits = w.select("doc_id", "wx", F.explode(planes).alias("bp")).select(
-        "doc_id", "wx", F.col("bp.b").alias("b"), F.col("bp.p2").alias("p2")
-    )
-    contrib = F.when((F.col("wx") % (F.col("p2") * 2)) >= F.col("p2"), 1).otherwise(-1)
-    per_bit = bits.groupBy("doc_id", "b", "p2").agg(F.sum(contrib).alias("s"))
-    bitval = F.when(F.col("s") > 0, F.col("p2")).otherwise(0)
-    sig = (
-        per_bit.groupBy("doc_id")
-        .agg(F.sum(bitval).alias("simhash"))
-        .select("doc_id", F.col("simhash").cast("long").alias("simhash"))
-    )
+    sig = _simhash_sig(load_table(spark, sf_dir, "documents"), 32)
     bands = sig.select(
         "doc_id",
         "simhash",
