@@ -46,6 +46,14 @@ MIN_BITS = int(_os.environ.get("CRAWL_BLOOM_MIN_BITS", str(1 << 17)))
 # N_PARTITIONS): the exact-rescue anti-join prunes to the buckets actually
 # present among maybe-seen candidates instead of scanning the whole log
 SEEN_BUCKETS = int(_os.environ.get("CRAWL_SEEN_BUCKETS", "16"))
+# bucket = partition_id % SEEN_BUCKETS only coarsens cleanly when SEEN_BUCKETS
+# divides N_PARTITIONS; otherwise driver-side bucket math (engine.resubmit)
+# and the stored bucket column silently disagree and prune the WRONG buckets
+# (already-seen URLs would re-enqueue as fresh). Fail at import, not at 10^10.
+if N_PARTITIONS % SEEN_BUCKETS != 0:
+    raise ValueError(
+        f"CRAWL_SEEN_BUCKETS={SEEN_BUCKETS} must divide N_PARTITIONS={N_PARTITIONS}"
+    )
 
 FILTER_SCHEMA = T.StructType(
     [
@@ -69,6 +77,13 @@ def partition_id_col(url_hash_col):
 def seen_bucket_col(url_hash_col):
     """Storage-bucket column for seen_hashes (coarsening of partition_id)."""
     return (partition_id_col(url_hash_col) % SEEN_BUCKETS).alias("bucket")
+
+
+def seen_bucket_of(url_hash: str) -> int:
+    """Driver-side twin of seen_bucket_col — MUST mirror it exactly (the
+    resubmit prune reads only these buckets; a mismatched formula silently
+    re-enqueues already-seen URLs)."""
+    return (int(url_hash[:4], 16) % N_PARTITIONS) % SEEN_BUCKETS
 
 
 def size_for(n_items: int, min_bits: int | None = None) -> int:

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from deepcrawl4ai_spark.frontier import bloom, webgraph as WG
 from deepcrawl4ai_spark.frontier.checkpoint import CheckpointStore
-from deepcrawl4ai_spark.frontier.fetcher import run_fetch
+from deepcrawl4ai_spark.frontier.fetcher import run_fetch, transport_replayable
 
 FRONTIER_COLS = (
     "url_norm",
@@ -109,6 +109,19 @@ class EngineConfig:
     # (equivalent to refill == capacity). All integer round arithmetic — no
     # wall clock — so replays/resume are exact.
     token_bucket: bool = False
+    # The optimistic selection cut (run_round) fetches the host-capped set
+    # BEFORE confirming it fits the round budget; an overshoot discards the
+    # fetch and re-fetches the exact subset — same-round double fetch. Sound
+    # ONLY when the fetch stage is side-effect-free and replayable (the
+    # synthetic transport is; a real HTTP transport is NOT: double-fetching
+    # is a politeness violation). None = derive from the transport (synthetic
+    # → True, http → False); set explicitly to override.
+    replayable_fetch: bool | None = None
+    # Fetch transport dict (fetcher.make_fetch_map): None = env default
+    # (CRAWL_TRANSPORT), {"kind": "synthetic"}, or
+    # {"kind": "http", "base": "http://host:port"}. Golden parity between the
+    # two is tests/test_transport.py.
+    transport: dict | None = None
 
 
 def _score_sql(url_hash_col):
@@ -120,6 +133,19 @@ def _score_sql(url_hash_col):
 
 def _order_cols():
     return [F.col("score").desc(), F.col("depth").asc(), F.col("url_hash").asc()]
+
+
+def _unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly reclaim a localCheckpoint's cached blocks instead of waiting
+    for the ContextCleaner's GC cycle (ADVICE r2: long drains with large
+    frontiers accumulate checkpoint storage between cleaner passes). A
+    localCheckpointed DataFrame's analyzed plan is a LogicalRDD wrapping the
+    persisted internal RDD — unpersist that exact RDD. Best-effort: on any
+    py4j/plan-shape mismatch the cleaner still reclaims it eventually."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — fall back to ContextCleaner reclaim
+        pass
 
 
 def distributed_limit(
@@ -165,6 +191,7 @@ def distributed_limit(
             target_rank = n - total
         total += counts[pid]
     if total <= n or target_pid is None:
+        _unpersist_local_checkpoint(ranged)
         return df  # fewer than n rows — everything is selected
     # the global n-th row in canonical order = row target_rank of target_pid
     # (range partitions are ordered by pid along the sort key)
@@ -177,6 +204,7 @@ def distributed_limit(
         .head()
     )
     ks, kd, ku = krow["score"], krow["depth"], krow["url_hash"]
+    _unpersist_local_checkpoint(ranged)
     # key-based cutoff: (-score, depth, url_hash) ≤ (-ks, kd, ku). Safe to
     # compare doubles for equality — scores are closed-form int/10000.0.
     return df.filter(
@@ -307,7 +335,7 @@ class CrawlEngine:
         ).persist()
         # seen check against the exact log, pruned to the buckets of the
         # submitted hashes (known driver-side — the list is an API edge)
-        buckets = sorted({int(x["url_hash"][:4], 16) % bloom.SEEN_BUCKETS for x in rows})
+        buckets = sorted({bloom.seen_bucket_of(x["url_hash"]) for x in rows})
         seen = self.store.read(self.spark, "seen_hashes")
         if "bucket" in seen.columns and len(buckets) < bloom.SEEN_BUCKETS:
             seen = seen.filter(F.col("bucket").isin(buckets))
@@ -329,6 +357,7 @@ class CrawlEngine:
         n_fresh = fresh.count()
         requeued = self.spark.createDataFrame([], self._frontier_schema())
         n_requeued = 0
+        prior_active = self.store.read(self.spark, "active")
         if bypass_cache:
             done = self.store.read(self.spark, "done")
             if done is not None:
@@ -337,6 +366,17 @@ class CrawlEngine:
                 )
                 requeued = (
                     done.join(urls_df.select("url_hash"), "url_hash", "left_semi")
+                    # 'URLs still queued are never duplicated': a bypass
+                    # resubmit issued twice before the re-fetch lands must be
+                    # a no-op the second time — anti-join against the live
+                    # queue so one url_hash never holds two queued rows
+                    .join(
+                        prior_active.filter(F.col("state") == "queued").select(
+                            "url_hash"
+                        ),
+                        "url_hash",
+                        "left_anti",
+                    )
                     .withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1)
                     .select(
@@ -353,11 +393,7 @@ class CrawlEngine:
                     .persist()
                 )
                 n_requeued = requeued.count()
-        active = (
-            self.store.read(self.spark, "active")
-            .unionByName(fresh)
-            .unionByName(requeued)
-        )
+        active = prior_active.unionByName(fresh).unionByName(requeued)
         filters = self.store.read(self.spark, "seen_filter")
         new_filters = bloom.add_to_filters(filters, fresh.select("url_hash"), r)
         overwrite = {"active": active, "seen_filter": new_filters}
@@ -522,7 +558,7 @@ class CrawlEngine:
             """Fetch + round metrics in ONE job: a small collect (test scale,
             also yields the crawl-order record) or two tiny aggregates (bench
             scale — never ship 10^5 rows to the driver)."""
-            fetched = run_fetch(sel.repartition(n_fetch)).persist()
+            fetched = run_fetch(sel.repartition(n_fetch), cfg.transport).persist()
             order_record: list[str] | None = None
             per_partition: dict[int, int] = {}
             if cfg.record_order:
@@ -571,7 +607,12 @@ class CrawlEngine:
         # robots covers the host universe; unknown-host-heavy frontiers fall
         # back to count-first).
         fetched = None
-        if self._sum_host_budgets <= 2 * round_budget:
+        replayable = (
+            cfg.replayable_fetch
+            if cfg.replayable_fetch is not None
+            else transport_replayable(cfg.transport)
+        )
+        if replayable and self._sum_host_budgets <= 2 * round_budget:
             from pyspark.sql import Observation
 
             obs = Observation(f"sel_r{r}")

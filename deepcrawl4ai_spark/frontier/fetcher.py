@@ -1,11 +1,20 @@
-"""The fetch stage: mapInPandas over Arrow batches (SURVEY.md F1/F2).
+"""The fetch stage: mapInPandas over Arrow batches (SURVEY.md F1/F2), behind
+a pluggable TRANSPORT seam.
 
-In this sandbox the "network" is the deterministic synthetic web
-(webgraph.fetch_page); on a real cluster the inner loop becomes an
-executor-local async HTTP client pool keyed by config signature — exactly
-the reference's browser-pool pattern (reference crawler_pool.py:25-49)
-hoisted into the UDF module (a module-level cache lives once per executor
-process, so sessions are reused across batches).
+Transports:
+- ``synthetic`` (default): the deterministic closed-form web
+  (webgraph.fetch_page) — replayable, the golden-test oracle.
+- ``http``: a real wire — executor-local pooled http.client connections
+  (keep-alive, reconnect-on-idle-close) GET each URL from a server speaking
+  the lossless HTML page format (htmlpage), and parse the HTML back into
+  spans/links. This is the reference's pooled-browser fetch shape (reference
+  actions.py:218-293, crawler_pool.py:25-49) with the stdlib client standing
+  in for aiohttp/playwright. NOT replayable: the engine disables its
+  optimistic double-fetch path for it (EngineConfig.replayable_fetch).
+
+The transport dict travels by closure into the UDF (cloudpickle), so tests
+can point at an ephemeral-port server created AFTER the SparkSession; env
+(CRAWL_TRANSPORT / CRAWL_HTTP_BASE) only sets the default for spark-submit.
 
 One output row per input row; spans/links as Arrow list columns. The fetch
 boundary is inherently per-URL I/O — everything around it (selection, dedup,
@@ -69,9 +78,16 @@ class FetchSession:
     last_used: int = 0
     n_uses: int = 0
     closed: bool = False
+    client: object | None = None  # http transport: pooled HTTPConnection
 
-    def close(self) -> None:  # real impl: await client.close()
+    def close(self) -> None:
         self.closed = True
+        if self.client is not None:
+            try:
+                self.client.close()
+            except Exception:  # noqa: BLE001 — already-dead socket
+                pass
+            self.client = None
 
 
 _SESSION_POOL: dict[str, FetchSession] = {}
@@ -100,41 +116,126 @@ def pool_reset() -> None:
     _SESSION_POOL.clear()
 
 
-def fetch_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from pyspark import TaskContext
+# --- transport seam -----------------------------------------------------------
 
-    ctx = TaskContext.get()
-    pid = ctx.partitionId() if ctx is not None else -1
-    get_session("default")  # session reuse across batches within the worker
-    work_iters = int(_FETCH_WORK_MS * _ITERS_PER_MS)
-    for pdf in batches:
-        spans_col, links_col, status_col = [], [], []
-        for u in pdf["url_norm"]:
-            if work_iters:
-                _hashlib.pbkdf2_hmac("sha256", u.encode(), b"fetchwork", work_iters)
-            page = WG.fetch_page(u)
-            status_col.append(page.fetch_status)
-            spans_col.append(
-                [
-                    {"kind": k, "text": t, "media_ref": m, "offset": o}
-                    for (k, t, m, o) in page.spans
-                ]
+
+def default_transport() -> dict:
+    """Env-driven default (spark-submit path): CRAWL_TRANSPORT=synthetic|http,
+    CRAWL_HTTP_BASE=http://host:port. Tests pass a transport dict explicitly
+    instead (ephemeral ports exist only after session start)."""
+    kind = _os.environ.get("CRAWL_TRANSPORT", "synthetic")
+    t: dict = {"kind": kind}
+    if kind == "http":
+        t["base"] = _os.environ.get("CRAWL_HTTP_BASE", "http://127.0.0.1:8765")
+        # an HTTP fetch is a side effect; only a caller who KNOWS the server
+        # is a replay-safe cache may mark it replayable
+        t["replayable"] = _os.environ.get("CRAWL_HTTP_REPLAYABLE") == "1"
+    return t
+
+
+def transport_replayable(transport: dict | None = None) -> bool:
+    """May the engine speculatively fetch-then-discard (optimistic selection)?
+    True only for side-effect-free transports (ADVICE r2: a double fetch over
+    a real wire is a politeness violation)."""
+    t = transport or default_transport()
+    return t["kind"] == "synthetic" or bool(t.get("replayable"))
+
+
+def _http_get_page(transport: dict, url_norm: str, url_hash: str):
+    """GET one page over the pooled keep-alive connection; parse the HTML
+    wire format back into a Page. Non-200 → failed page (the reference maps
+    fetch errors to a failed task result, tasks.py:173-210). One silent
+    reconnect handles a server-closed idle connection."""
+    import http.client
+    import urllib.parse
+
+    from deepcrawl4ai_spark.frontier.htmlpage import parse_html
+    from deepcrawl4ai_spark.frontier.webgraph import Page
+
+    base = transport["base"]
+    sess = get_session(f"http:{base}")
+    parts = urllib.parse.urlsplit(base)
+    path = "/page?u=" + urllib.parse.quote(url_norm, safe="")
+    for attempt in range(2):
+        conn = sess.client
+        if conn is None:
+            conn = http.client.HTTPConnection(
+                parts.hostname, parts.port or 80, timeout=30
             )
-            links_col.append(list(page.outlinks))
-        yield pd.DataFrame(
-            {
-                "url_hash": pdf["url_hash"],
-                "url_norm": pdf["url_norm"],
-                "host": pdf["host"],
-                "depth": pdf["depth"],
-                "score": pdf["score"],
-                "attempt": pdf["attempt"],
-                "fetch_status": status_col,
-                "spans": spans_col,
-                "links": links_col,
-                "fetch_pid": pid,
-            }
-        )
+            sess.client = conn
+        try:
+            conn.request("GET", path)
+            resp = conn.getresponse()
+            body = resp.read()
+            status = resp.status
+            break
+        except (ConnectionError, http.client.HTTPException, OSError):
+            try:
+                conn.close()
+            except Exception:  # noqa: BLE001
+                pass
+            sess.client = None
+            if attempt == 1:
+                raise
+    if status != 200:
+        return Page(url_norm, url_hash, "failed", (), ())
+    return parse_html(url_norm, url_hash, body.decode())
+
+
+def _fetch_one(transport: dict, url_norm: str, url_hash: str):
+    if transport["kind"] == "synthetic":
+        return WG.fetch_page(url_norm)
+    return _http_get_page(transport, url_norm, url_hash)
+
+
+def make_fetch_map(transport: dict | None = None):
+    """Build the mapInPandas fetch function for *transport* (closure-captured
+    so executors see the exact dict, including test-time ephemeral ports)."""
+    transport = transport or default_transport()
+
+    def fetch_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        get_session("default")  # session reuse across batches within the worker
+        work_iters = int(_FETCH_WORK_MS * _ITERS_PER_MS)
+        for pdf in batches:
+            spans_col, links_col, status_col = [], [], []
+            for u, uh in zip(pdf["url_norm"], pdf["url_hash"]):
+                if work_iters:
+                    _hashlib.pbkdf2_hmac(
+                        "sha256", u.encode(), b"fetchwork", work_iters
+                    )
+                page = _fetch_one(transport, u, uh)
+                status_col.append(page.fetch_status)
+                spans_col.append(
+                    [
+                        {"kind": k, "text": t, "media_ref": m, "offset": o}
+                        for (k, t, m, o) in page.spans
+                    ]
+                )
+                links_col.append(list(page.outlinks))
+            yield pd.DataFrame(
+                {
+                    "url_hash": pdf["url_hash"],
+                    "url_norm": pdf["url_norm"],
+                    "host": pdf["host"],
+                    "depth": pdf["depth"],
+                    "score": pdf["score"],
+                    "attempt": pdf["attempt"],
+                    "fetch_status": status_col,
+                    "spans": spans_col,
+                    "links": links_col,
+                    "fetch_pid": pid,
+                }
+            )
+
+    return fetch_map
+
+
+# module-level default (synthetic) kept for direct importers
+fetch_map = make_fetch_map({"kind": "synthetic"})
 
 
 def warm_pool(spark, config_sig: str = "default") -> int:
@@ -157,11 +258,11 @@ def warm_pool(spark, config_sig: str = "default") -> int:
     return df.distinct().count()
 
 
-def run_fetch(selected: DataFrame) -> DataFrame:
+def run_fetch(selected: DataFrame, transport: dict | None = None) -> DataFrame:
     """selected: (url_hash, url_norm, host, depth, score, attempt, …) →
-    fetched rows with spans + outlinks."""
+    fetched rows with spans + outlinks, via *transport* (default: env)."""
     cols = ["url_hash", "url_norm", "host", "depth", "score", "attempt"]
-    return selected.select(*cols).mapInPandas(fetch_map, FETCH_SCHEMA)
+    return selected.select(*cols).mapInPandas(make_fetch_map(transport), FETCH_SCHEMA)
 
 
 # --- F4/F5: page interaction as multi-fetch (SURVEY §2.7) ---------------------

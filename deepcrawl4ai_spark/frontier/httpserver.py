@@ -1,0 +1,92 @@
+"""Local HTTP server exposing the synthetic web as real HTML pages — the
+target for the ``http`` fetch transport in tests and demos.
+
+The reference crawls live sites through a pooled browser (reference
+crawler_pool.py:25-49); in-sandbox the "live site" is this threaded stdlib
+server rendering webgraph pages through the lossless HTML wire format
+(htmlpage.render_html). Failed synthetic pages answer 503, unknown routes
+404 — so the client exercises real status-code handling, keep-alive
+connection reuse (HTTP/1.1 + Content-Length), and a request counter the
+politeness tests read to prove each URL was fetched over the wire exactly
+once (no optimistic double fetch with a non-replayable transport).
+"""
+
+from __future__ import annotations
+
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from deepcrawl4ai_spark.frontier import webgraph as WG
+from deepcrawl4ai_spark.frontier.htmlpage import render_html
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"  # keep-alive: the client pool reuses conns
+
+    def do_GET(self) -> None:  # noqa: N802 — http.server API
+        parsed = urllib.parse.urlparse(self.path)
+        if parsed.path != "/page":
+            self._reply(404, b"not found")
+            return
+        u = urllib.parse.parse_qs(parsed.query).get("u", [None])[0]
+        if not u:
+            self._reply(400, b"missing u=<url_norm>")
+            return
+        with self.server.lock:
+            self.server.n_requests += 1
+        page = WG.fetch_page(u)
+        if page.fetch_status != "success":
+            self._reply(503, b"synthetic upstream failure")
+            return
+        self._reply(200, render_html(page).encode(), "text/html; charset=utf-8")
+
+    def _reply(self, status: int, body: bytes, ctype: str = "text/plain") -> None:
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args) -> None:  # silence per-request stderr noise
+        pass
+
+
+class SyntheticWebServer:
+    """Context-managed threaded server on an ephemeral port.
+
+    ``n_requests`` counts /page hits — the wire-level fetch audit.
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._srv = ThreadingHTTPServer((host, port), _Handler)
+        self._srv.n_requests = 0
+        self._srv.lock = threading.Lock()
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, name="synthetic-web", daemon=True
+        )
+
+    @property
+    def base(self) -> str:
+        host, port = self._srv.server_address[:2]
+        return f"http://{host}:{port}"
+
+    @property
+    def n_requests(self) -> int:
+        with self._srv.lock:
+            return self._srv.n_requests
+
+    def start(self) -> "SyntheticWebServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+        self._thread.join(timeout=5)
+
+    def __enter__(self) -> "SyntheticWebServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

@@ -103,7 +103,20 @@ def test_resubmit_cache_modes(spark, tmp_path_factory):
     # BYPASS: the same URL re-queues and is re-fetched next round
     m2 = eng.resubmit([fetched_url], bypass_cache=True)
     assert m2["new_frontier"] == 0 and m2["requeued"] == 1
-    eng2 = CrawlEngine(spark, root, EngineConfig(max_rounds=m2["round"] + 2, **CFG))
+
+    # double BYPASS before the re-fetch: the second call is a no-op for a
+    # still-queued URL — one url_hash never holds two queued active rows
+    # (ADVICE r2; the docstring's 'URLs still queued are never duplicated')
+    m2b = eng.resubmit([fetched_url], bypass_cache=True)
+    assert m2b["requeued"] == 0
+    assert (
+        eng.store.read(spark, "active")
+        .filter((F.col("url_norm") == fetched_url) & (F.col("state") == "queued"))
+        .count()
+        == 1
+    )
+
+    eng2 = CrawlEngine(spark, root, EngineConfig(max_rounds=m2b["round"] + 2, **CFG))
     eng2.run()
     res = eng2.store.read(spark, "results")
     assert res.filter(F.col("url") == fetched_url).count() == 2  # both versions
