@@ -257,6 +257,64 @@ def c8_lxml_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c7_css_selectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True C7 selector inference (reference dynamic_selectors.py:4-48
+    ``auto_detect_selectors``): each document is synthesized into HTML from
+    its span structure (the same derivation C1/C6/C8 use — text spans as
+    ``<p class="text" data-offset>``, images as ``<img id class data-offset
+    src>``), then a GENERIC stdlib-HTMLParser walk
+    (functions/selectors.auto_detect_selectors — the parser knows nothing of
+    this layout) emits one CSS selector + one absolute XPath per element.
+    Arrow-batched mapInPandas on the C8 parser scaffold; embarrassingly
+    parallel, zero shuffles at any scale."""
+    import hashlib
+    import html as _h
+
+    import pandas as pd
+
+    from deepcrawl4ai_spark.functions.selectors import auto_detect_selectors
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def infer(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "tag_idx": [],
+                "css_selector": [],
+                "xpath_selector": [],
+            }
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                words = t.split(" ") if t is not None else []
+                parts = ["<html><body><article>"]
+                for g in range(len(words) // 4):
+                    if hashlib.md5(f"{d}:{g}".encode()).hexdigest()[0] in "0123":
+                        parts.append(
+                            f'<img id="m{g}" class="image" data-offset="{g}"'
+                            f' src="media://{d}/{g}"/>'
+                        )
+                    else:
+                        parts.append(
+                            f'<p class="text" data-offset="{g}">'
+                            f'{_h.escape(" ".join(words[g * 4 : g * 4 + 4]))}</p>'
+                        )
+                parts.append("</article></body></html>")
+                sel = auto_detect_selectors("".join(parts))
+                for i, (css, xp) in enumerate(
+                    zip(sel["css_selectors"], sel["xpath_selectors"])
+                ):
+                    out["doc_id"].append(d)
+                    out["tag_idx"].append(i)
+                    out["css_selector"].append(css)
+                    out["xpath_selector"].append(xp)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        infer,
+        "doc_id long, tag_idx int, css_selector string, xpath_selector string",
+    )
+
+
 def c4_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 chunking plan (reference crawl.py:355-366; multimodal/media.py
     chunk_text): per doc, the number of 1200-char chunks at 0.1 overlap

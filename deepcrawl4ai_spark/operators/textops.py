@@ -100,6 +100,40 @@ def c2_pruning_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c2_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 ``threshold_type='dynamic'`` (reference crawl.py:338-345 configures
+    PruningContentFilter(threshold=0.45, threshold_type='dynamic',
+    min_word_threshold=5)): the pruning bar adapts per item instead of the
+    fixed 0.45 — the upstream filter lowers a node's threshold when
+    structural signals say "content" and raises it when they say
+    "boilerplate". Flat-text analog with the same ±20% multiplicative
+    adjustments derived from content stats: content-rich docs (stopword
+    ratio < 0.15) get threshold×0.8, low-information docs (mean word length
+    < 4 chars) get ×1.2; clamped to [0.2, 0.9]. Same density score and
+    min-word gate as the fixed variant (c2_pruning_filter). Pure JVM
+    arithmetic — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    density = F.col("n_chars") / (n_words * 8.0)
+    n_stop = F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|to|and)\b"))
+    stop_ratio = n_stop / n_words
+    mean_wlen = (F.col("n_chars") - (n_words - 1)) / n_words
+    thr = (
+        F.lit(0.45)
+        * F.when(stop_ratio < 0.15, F.lit(0.8)).otherwise(F.lit(1.0))
+        * F.when(mean_wlen < 4.0, F.lit(1.2)).otherwise(F.lit(1.0))
+    )
+    thr = F.least(F.greatest(thr, F.lit(0.2)), F.lit(0.9))
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(density, 6).alias("density"),
+        F.round(thr, 6).alias("dyn_threshold"),
+    ).filter(
+        (F.col("n_words") >= 5) & (F.col("density") >= F.col("dyn_threshold"))
+    )
+
+
 def c3_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: BM25 content ranking vs a fixed query {spark, join}
     (reference BM25ContentFilter, api.py:218). k1=1.2, b=0.75; IDF and

@@ -2,7 +2,11 @@
 oracle in DuckDB at sf0.01, compare row count, column names, and an
 order-insensitive value hash.
 
-Usage: python tools/check_correctness.py [query_name ...]
+Usage: python tools/check_correctness.py [--json out.json] [query_name ...]
+
+--json writes a driver-format result map for EVERY checked query — the
+committed CORRECTNESS_FULL_r{N}.json artifact that covers the queries past
+the driver's 50-entry window.
 """
 
 from __future__ import annotations
@@ -51,7 +55,26 @@ def main() -> int:
     from deepcrawl4ai_spark.registry import QUERIES, ORACLES
     from deepcrawl4ai_spark.session import get_spark
 
-    names = sys.argv[1:] or list(QUERIES)
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    names = argv or list(QUERIES)
+    results: dict[str, dict] = {}
+
+    def record(name, s_rows=None, d_rows=None, schema=None, hash_ok=None, err=None):
+        results[name] = {
+            "rows_match": (
+                s_rows is not None and d_rows is not None and s_rows == d_rows
+            ),
+            "schema_match": bool(schema),
+            "hash_match": bool(hash_ok),
+            "spark_rows": s_rows,
+            "oracle_rows": d_rows,
+            "err": err,
+        }
     spark = get_spark("check_correctness", cores=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -72,10 +95,12 @@ def main() -> int:
             s_cols = sdf.columns
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            record(name, err=f"spark error: {e}")
             failures += 1
             continue
         if name not in ORACLES:
             print(f"weak  {name}: rows={len(s_rows)} (no oracle)")
+            record(name, s_rows=len(s_rows), err="no oracle (rows-only)")
             continue
         try:
             res = con.execute(ORACLES[name])
@@ -83,6 +108,7 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            record(name, s_rows=len(s_rows), err=f"duckdb error: {e}")
             failures += 1
             continue
         problems = []
@@ -103,12 +129,26 @@ def main() -> int:
                     if a != b:
                         problems.append(f"first diff:\n  spark: {a}\n  duck : {b}")
                         break
+        record(
+            name,
+            s_rows=len(s_rows),
+            d_rows=len(d_rows),
+            schema=sorted(s_cols) == sorted(d_cols),
+            hash_ok=not problems,
+            err="; ".join(problems) or None,
+        )
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures += 1
         else:
             print(f"ok    {name}: rows={len(s_rows)}")
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if failures else 0
 
 
