@@ -76,7 +76,11 @@ class CheckpointStore:
             jobs.append((name, df, path))
         for name, df in append.items():
             path = self._data_dir(name, round_id)
-            tables[name] = list(prev["tables"].get(name, [])) + [path]
+            # drop this round's own path if present: an at-least-once replay
+            # of an ALREADY-COMMITTED round must be idempotent, not
+            # double-count the append (conformance: idempotent re-commit)
+            prev_paths = [p for p in prev["tables"].get(name, []) if p != path]
+            tables[name] = prev_paths + [path]
             jobs.append((name, df, path))
 
         def _write(job: tuple) -> None:
@@ -271,6 +275,13 @@ class CheckpointStore:
             if ms:
                 lines.append(f"# TYPE {pname}_last gauge")
                 lines.append(f"{pname}_last {ms[-1].get(key, 0) or 0}")
+        # A3 system gauges (when the run sampled them — monitor.SystemSampler
+        # or any EngineConfig.health_gauges callable)
+        gauged = [m for m in ms if "cpu_frac" in m]
+        if gauged:
+            for pname, key in (("crawl_cpu_frac", "cpu_frac"), ("crawl_mem_frac", "mem_frac")):
+                lines.append(f"# TYPE {pname} gauge")
+                lines.append(f"{pname} {gauged[-1].get(key, 0.0)}")
         if cur is not None:
             lines.append("# TYPE crawl_table_bytes gauge")
             for table, meta in (cur.get("tables_meta") or {}).items():

@@ -893,6 +893,7 @@ class CrawlEngine:
     def _next_budget(self, last_metrics: dict | None) -> int:
         """R1/X1/R7 controller: budget = base * min(1-err, 1-cpu, 1-mem),
         floored (reference monitor.py:200-238)."""
+        self._last_gauges: dict = {}
         factor = 1.0
         if self.cfg.adaptive_budget and last_metrics:
             popped = last_metrics.get("urls_popped", 0)
@@ -900,6 +901,13 @@ class CrawlEngine:
             factor = 1.0 - err
         if self.cfg.health_gauges is not None:
             cpu, mem = self.cfg.health_gauges()
+            # recorded into the round's metrics (A3: the reference persists
+            # SystemStats per machine, monitor.py:186-197) and surfaced via
+            # checkpoint.prometheus_metrics
+            self._last_gauges = {
+                "cpu_frac": round(float(cpu), 4),
+                "mem_frac": round(float(mem), 4),
+            }
             factor = min(factor, 1.0 - cpu, 1.0 - mem)
         if factor >= 1.0:
             return self.cfg.global_budget
@@ -948,12 +956,13 @@ class CrawlEngine:
                     self.store.read(self.spark, "seen_hashes").select("url_hash"), r
                 )
                 built_n = seen_total
+            budget = self._next_budget(last_metrics)
             m, nf, nflt = self.run_round(
                 r,
                 frontier,
                 filters,
-                self._next_budget(last_metrics),
-                extra_metrics={"bloom_built_n": built_n},
+                budget,
+                extra_metrics={"bloom_built_n": built_n, **self._last_gauges},
             )
             if m.get("empty"):
                 nxt = m.get("next_due")

@@ -393,3 +393,41 @@ def test_c4_extraction_stub(spark):
     # deterministic
     again = {r["doc_id"]: r["extracted"] for r in extract_structured(docs, ["title", "author"]).collect()}
     assert all(again[r["doc_id"]] == r["extracted"] for r in out)
+
+
+# --- WS-analog liveness (reference job.py:107-131 + tests/test_websocket.py) --
+
+
+def test_ws_events_first_message_and_transitions(small_store):
+    from deepcrawl4ai_spark.streaming.events import event_stream
+
+    evts = list(event_stream(small_store, max_polls=3))
+    # reference test_websocket.py: the first received message contains
+    # "server event"
+    assert "server event" in evts[0]["message"]
+    rounds = [e for e in evts if e["event"] == "round_committed"]
+    # seed commit (-1) + 2 crawl rounds, in order, all committed
+    assert [e["round"] for e in rounds] == [-1, 0, 1]
+    assert all(e["state"] in ("committed", "resubmitted") for e in rounds)
+    assert sum(e["urls_fetched"] for e in rounds) > 0
+
+
+def test_ws_events_keepalive_and_multiclient(small_store):
+    from deepcrawl4ai_spark.streaming.events import event_stream
+
+    # keep-alive: once the commit log is drained, every poll heartbeats
+    # (the reference's 120 s held-open connection, test_websocket.py:27-44)
+    evts = list(event_stream(small_store, max_polls=5))
+    beats = [e for e in evts if e["event"] == "heartbeat"]
+    assert len(beats) == 4  # polls after the one that drained the log
+    assert [b["poll"] for b in beats] == sorted(b["poll"] for b in beats)
+
+    # a second subscriber sees the same events — reading has no side effects
+    again = list(event_stream(small_store, max_polls=5))
+    assert [e for e in again if e["event"] == "round_committed"] == [
+        e for e in evts if e["event"] == "round_committed"
+    ]
+
+    # resume from a cursor: only rounds past it are replayed
+    tail = list(event_stream(small_store, from_round=0, max_polls=2))
+    assert [e["round"] for e in tail if e["event"] == "round_committed"] == [1]
