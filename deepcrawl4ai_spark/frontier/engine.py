@@ -947,6 +947,7 @@ class CrawlEngine:
             if self._cancel:
                 break
             t0 = _time.time()
+            rebuilt = False
             if seen_total > max(4 * built_n, rebuild_floor):
                 # the seen-set outgrew the last build: collapse generations
                 # into one right-sized filter per partition, rebuilt from the
@@ -956,14 +957,12 @@ class CrawlEngine:
                     self.store.read(self.spark, "seen_hashes").select("url_hash"), r
                 )
                 built_n = seen_total
+                rebuilt = True  # lazy — the cost lands in this round's dedup
             budget = self._next_budget(last_metrics)
-            m, nf, nflt = self.run_round(
-                r,
-                frontier,
-                filters,
-                budget,
-                extra_metrics={"bloom_built_n": built_n, **self._last_gauges},
-            )
+            extra = {"bloom_built_n": built_n, **self._last_gauges}
+            if rebuilt:
+                extra["bloom_rebuilt"] = True
+            m, nf, nflt = self.run_round(r, frontier, filters, budget, extra_metrics=extra)
             if m.get("empty"):
                 nxt = m.get("next_due")
                 if nxt is None or nxt >= self.cfg.max_rounds:

@@ -142,7 +142,21 @@ def main() -> None:
             "urls_per_sec": round(fetched / wall, 1),
             "round_secs": round_secs,
             "per_round": [
-                {k: m[k] for k in ("round", "urls_popped", "urls_fetched", "new_frontier")}
+                {
+                    k: m[k]
+                    for k in (
+                        "round",
+                        "urls_popped",
+                        "urls_fetched",
+                        "new_frontier",
+                        "_sec",
+                        "_phases",
+                        "bloom",
+                        "bloom_built_n",
+                        "bloom_rebuilt",
+                    )
+                    if k in m
+                }
                 for m in metrics
             ],
         }
