@@ -213,26 +213,33 @@ def stub_extract_chunk(doc_id: str, field_names: list[str], ci: int, chunk: str)
 
 def extract_structured(docs: DataFrame, field_names: list[str],
                        chunk_chars: int = 1200, overlap: float = 0.1,
-                       llm_stub: bool = True) -> DataFrame:
+                       extractor=stub_extract_chunk) -> DataFrame:
     """C4 plumbing (reference api.py:219-226, tasks.py:173-210): chunk each
     doc's text with fractional overlap (chunk_token_threshold analog,
     reference crawl.py:355-366), run schema-guided extraction per chunk,
     merge field-wise across chunks in order — a later chunk's value for a
-    field overrides an earlier one, the reference's last-non-null merge. The
-    LLM call itself is STUBBED (deterministic fake: field values are
-    hash-derived tokens); schema, chunking, batch shape, and merge are real."""
+    field overrides an earlier one, the reference's last-non-null merge.
+
+    *extractor* is the PLUGGABLE per-chunk model call (the reference's
+    llm_strategy.extract boundary): signature ``(doc_id, field_names,
+    chunk_index, chunk_text) -> dict`` of extracted fields. The default is
+    the deterministic stub (no external API exists in-sandbox); a production
+    OpenAI-backed extractor plugs in unchanged — cloudpickle ships the
+    callable to executors, and the executor-local session pool
+    (fetcher.get_session) gives it a pooled client. ``extractor=None``
+    raises, marking the external boundary explicitly."""
     import json as _json
 
     def _merge_doc(doc_id: str, text: str | None) -> tuple[str, int]:
         chunks = chunk_text(text, chunk_chars, overlap)
         merged: dict = {}
         for ci, chunk in enumerate(chunks):
-            merged.update(stub_extract_chunk(doc_id, field_names, ci, chunk))
+            merged.update(extractor(doc_id, field_names, ci, chunk))
         return _json.dumps(merged, sort_keys=True), len(chunks)
 
     def _extract(batches):
         for pdf in batches:
-            if not llm_stub:
+            if extractor is None:
                 raise NotImplementedError("LLM extraction requires an external API")
             ids = pdf["doc_id"].astype(str)
             pairs = [_merge_doc(d, t) for d, t in zip(ids, pdf["text"])]

@@ -431,3 +431,29 @@ def test_ws_events_keepalive_and_multiclient(small_store):
     # resume from a cursor: only rounds past it are replayed
     tail = list(event_stream(small_store, from_round=0, max_polls=2))
     assert [e["round"] for e in tail if e["event"] == "round_committed"] == [1]
+
+
+def test_c4_pluggable_extractor(spark):
+    """C4's model call is a seam (reference llm_strategy.extract boundary,
+    tasks.py:173-210): a custom per-chunk extractor replaces the stub with
+    no other change; chunking/merge plumbing is shared."""
+    import json
+
+    from deepcrawl4ai_spark.multimodal.media import extract_structured
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma " * 200)], "doc_id string, text string"
+    )
+
+    def fake_model(doc_id, fields, ci, chunk):
+        # chunk 0 answers everything; later chunks add a per-chunk field so
+        # the cross-chunk merge is visible
+        out = {f: f"{f}:{len(chunk.split())}" for f in fields} if ci == 0 else {}
+        out[f"seen_chunk_{ci}"] = str(ci)
+        return out
+
+    row = extract_structured(docs, ["wc"], extractor=fake_model).collect()[0]
+    assert row["n_chunks"] > 1
+    merged = json.loads(row["extracted"])
+    assert merged["wc"].startswith("wc:")
+    assert merged[f"seen_chunk_{row['n_chunks'] - 1}"] == str(row["n_chunks"] - 1)
