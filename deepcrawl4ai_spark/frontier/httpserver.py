@@ -26,6 +26,18 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self) -> None:  # noqa: N802 — http.server API
         parsed = urllib.parse.urlparse(self.path)
+        if parsed.path == "/robots.txt":
+            # per-host robots body (?h=<host>): the politeness rules served
+            # as real robots.txt text, parsed back by functions/robots.py
+            from deepcrawl4ai_spark.functions.robots import render_robots_txt
+
+            h = urllib.parse.parse_qs(parsed.query).get("h", [""])[0]
+            row = next((r for r in WG.robots_rows() if r["host"] == h), None)
+            if row is None:
+                self._reply(404, b"unknown host")
+            else:
+                self._reply(200, render_robots_txt(row).encode())
+            return
         if parsed.path != "/page":
             self._reply(404, b"not found")
             return

@@ -71,6 +71,40 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(counts, "fingerprint").select("doc_id", "fingerprint", "n_dups")
 
 
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-PARAGRAPH detection — the C4/RefinedWeb-style
+    cleanup step that removes boilerplate paragraphs repeated across many
+    pages (navigation, footers) rather than whole-document dups. Paragraph
+    analog on the flat corpus: consecutive 8-word windows; a paragraph is a
+    duplicate when its hash occurs in ≥2 DISTINCT documents. Output: one row
+    per duplicated paragraph occurrence (doc_id, para_idx, n_docs) — the
+    rows a cleaner would drop.
+
+    Scale shape: posexplode → groupBy(hash) with map-side partial
+    count-distinct → semi-join back. One shuffle on the paragraph hash; no
+    pair space at all (unlike near-dup, repetition is counted, not
+    compared)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    paras = F.when(
+        F.size("w") >= 8,
+        F.transform(
+            F.sequence(F.lit(0), (F.size("w") / 8).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i * 8 + 1, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = w.select(
+        "doc_id", F.posexplode(paras).alias("para_idx", "para")
+    ).select("doc_id", "para_idx", F.md5("para").alias("ph"))
+    counts = exploded.groupBy("ph").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        exploded.join(counts.filter(F.col("n_docs") >= 2), "ph")
+        .select("doc_id", "para_idx", "n_docs")
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: 8 permutations, 8 bands × 1 row.
     Two docs are candidates iff any minhash matches."""

@@ -303,6 +303,31 @@ _q(
     """,
 )
 
+_q(
+    "dedup_paragraphs",
+    D.dedup_paragraphs,
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             CAST(floor(len(string_split(text, ' ')) / 8) AS INT) AS n_paras
+      FROM documents
+    ),
+    p0 AS (
+      SELECT doc_id, words,
+             unnest(CASE WHEN n_paras > 0
+                    THEN generate_series(0, n_paras - 1) ELSE [] END) AS i
+      FROM w
+    ),
+    p AS (
+      SELECT doc_id, CAST(i AS INT) AS para_idx,
+             md5(array_to_string(words[i*8+1 : i*8+8], ' ')) AS ph
+      FROM p0
+    ),
+    c AS (SELECT ph, count(DISTINCT doc_id) AS n_docs FROM p GROUP BY ph)
+    SELECT doc_id, para_idx, n_docs FROM p JOIN c USING (ph) WHERE n_docs >= 2
+    """,
+)
+
 # MinHash SQL is generated from the same params as the Spark side.
 _MH_SQL_COMMON = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
