@@ -39,7 +39,7 @@ HEADLINE = [
     "c3_bm25_rank",
 ]
 
-# round-2 operators, timed AFTER the headline window so `value` stays
+# round-2/3 operators, timed AFTER the headline window so `value` stays
 # comparable across rounds; reported under "extras"
 EXTRAS = [
     "asof_join_events",
@@ -47,6 +47,10 @@ EXTRAS = [
     "dedup_simhash_banded",
     "host_pagerank",
     "pack_sequences",
+    "c7_css_selectors",
+    "c2_dynamic_pruning",
+    "dedup_paragraphs",
+    "ann_ivf_topk",
 ]
 
 FRONTIER_SEEDS = 2000

@@ -54,6 +54,11 @@ if N_PARTITIONS % SEEN_BUCKETS != 0:
     raise ValueError(
         f"CRAWL_SEEN_BUCKETS={SEEN_BUCKETS} must divide N_PARTITIONS={N_PARTITIONS}"
     )
+# seen-filter kind: 'bloom' (default) or 'cuckoo' (deletion-capable —
+# frontier/cuckoo.py). Same table layout, generations, rebuild cycle, and
+# prefilter contract either way; membership dispatches on each row's
+# filter_kind, so the choice binds at BUILD time per generation.
+FILTER_KIND = _os.environ.get("CRAWL_FILTER_KIND", "bloom")
 
 FILTER_SCHEMA = T.StructType(
     [
@@ -125,21 +130,92 @@ def _gen_row(pid: int, bits: np.ndarray, m: int, n: int, round_id: int) -> dict:
     }
 
 
-def build_filters(hashes_df: DataFrame, round_id: int) -> DataFrame:
-    """Build per-partition bloom rows sized from the ACTUAL item count of each
-    partition (one generation per partition)."""
+# --- cuckoo generation helpers (frontier/cuckoo.py does the table math) -------
+
+
+def _cuckoo_min_buckets(min_bits: int) -> int:
+    """Memory floor comparable to the bloom MIN_BITS floor."""
+    from deepcrawl4ai_spark.frontier import cuckoo as CK
+
+    return max(64, min_bits // (CK.BUCKET_SLOTS * 16))
+
+
+def _cuckoo_build_rows(
+    pid: int, hashes: pd.Series, round_id: int, min_bits: int, min_nb: int = 0
+) -> list[dict]:
+    """One right-sized cuckoo generation holding ALL of *hashes* (grows ×2
+    on the rare over-load kick failure — build never drops an item)."""
+    from deepcrawl4ai_spark.frontier import cuckoo as CK
+
+    nb = max(CK.n_buckets_for(len(hashes), _cuckoo_min_buckets(min_bits)), min_nb)
+    while True:
+        table = CK.new_table(nb)
+        fps, i1, i2 = CK.keys(hashes, nb)
+        if not CK.insert_batch(table, fps, i1, i2).any():
+            break
+        nb *= 2
+    return [
+        {
+            "partition_id": pid,
+            "filter_kind": "cuckoo",
+            "bits": CK.table_to_bytes(table),
+            "m_bits": CK.m_bits_of(nb),
+            "n_items": len(hashes),
+            "round": round_id,
+        }
+    ]
+
+
+def _cuckoo_absorb(
+    out: list[dict], right: pd.DataFrame, round_id: int, min_bits: int
+) -> list[dict]:
+    """Scalable-cuckoo absorb: fill the newest generation to its load-factor
+    capacity; spill the remainder (capacity overflow OR kick failures) into
+    a new ≥2× generation. Mirrors the bloom generation policy."""
+    from deepcrawl4ai_spark.frontier import cuckoo as CK
+
+    pid = out[-1]["partition_id"]
+    newest = out[-1]
+    nb = CK.nb_of_m_bits(newest["m_bits"])
+    spill = right["url_hash"]
+    if newest["n_items"] + len(right) <= CK.capacity(nb):
+        table = CK.table_from_bytes(newest["bits"])
+        fps, i1, i2 = CK.keys(right["url_hash"], nb)
+        failed = CK.insert_batch(table, fps, i1, i2)
+        newest["bits"] = CK.table_to_bytes(table)
+        newest["n_items"] = int(newest["n_items"]) + int((~failed).sum())
+        spill = right["url_hash"][failed]
+    if len(spill):
+        # geometric floor (≥2× newest) keeps generation count O(log N)
+        out.extend(
+            _cuckoo_build_rows(pid, spill, round_id, min_bits, min_nb=2 * nb)
+        )
+    return out
+
+
+def build_filters(
+    hashes_df: DataFrame, round_id: int, kind: str | None = None
+) -> DataFrame:
+    """Build per-partition filter rows sized from the ACTUAL item count of
+    each partition (one generation per partition). *kind* defaults to the
+    module FILTER_KIND ('bloom' | 'cuckoo'), resolved driver-side and
+    closure-captured so workers agree."""
     with_pid = hashes_df.select(
         "url_hash", partition_id_col(F.col("url_hash")).alias("partition_id")
     )
     min_bits = MIN_BITS  # captured by value — driver config wins on workers
+    kind = kind or FILTER_KIND
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["partition_id"].iloc[0])
+        if kind == "cuckoo":
+            return pd.DataFrame(
+                _cuckoo_build_rows(pid, pdf["url_hash"], round_id, min_bits)
+            )
         m = size_for(len(pdf), min_bits)
         bits = np.zeros(m // 8, dtype=np.uint8)
         _set_bits(bits, pdf["url_hash"], m)
-        return pd.DataFrame(
-            [_gen_row(int(pdf["partition_id"].iloc[0]), bits, m, len(pdf), round_id)]
-        )
+        return pd.DataFrame([_gen_row(pid, bits, m, len(pdf), round_id)])
 
     return with_pid.groupBy("partition_id").applyInPandas(_build, FILTER_SCHEMA)
 
@@ -155,11 +231,16 @@ def add_to_filters(filters: DataFrame, hashes_df: DataFrame, round_id: int) -> D
         "url_hash", partition_id_col(F.col("url_hash")).alias("partition_id")
     )
     min_bits = MIN_BITS  # captured by value — driver config wins on workers
+    kind = FILTER_KIND  # for brand-new partitions only; existing rows win
 
     def _absorb(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         # left = existing filter rows (≥0 generations), right = new hashes
         if left.empty:
             pid = int(right["partition_id"].iloc[0])
+            if kind == "cuckoo":
+                return pd.DataFrame(
+                    _cuckoo_build_rows(pid, right["url_hash"], round_id, min_bits)
+                )
             m = size_for(len(right), min_bits)
             bits = np.zeros(m // 8, dtype=np.uint8)
             _set_bits(bits, right["url_hash"], m)
@@ -169,6 +250,8 @@ def add_to_filters(filters: DataFrame, hashes_df: DataFrame, round_id: int) -> D
         out = [dict(g, round=round_id) for g in gens]
         if right.empty:
             return pd.DataFrame(out)
+        if out[-1]["filter_kind"] == "cuckoo":
+            return pd.DataFrame(_cuckoo_absorb(out, right, round_id, min_bits))
         newest = out[-1]
         capacity = newest["m_bits"] // BITS_PER_ITEM
         if newest["n_items"] + len(right) <= capacity:
@@ -190,13 +273,65 @@ def add_to_filters(filters: DataFrame, hashes_df: DataFrame, round_id: int) -> D
     )
 
 
+def remove_from_filters(
+    filters: DataFrame, hashes_df: DataFrame, round_id: int
+) -> DataFrame:
+    """DELETION — the cuckoo filter's differentiator (bloom rows raise):
+    evict *hashes_df*'s url_hashes from the seen filter so those URLs flow
+    through the normal definitely-new path on their next sighting (a forced
+    re-crawl without an exact-log exception). Each hash is removed from the
+    newest generation that holds its fingerprint. Same cogrouped
+    applyInPandas shape as add_to_filters."""
+    hashed = hashes_df.select(
+        "url_hash", partition_id_col(F.col("url_hash")).alias("partition_id")
+    )
+    cols = [f.name for f in FILTER_SCHEMA.fields]
+
+    def _remove(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=cols)
+        gens = left.sort_values("m_bits").to_dict("records")
+        out = [dict(g, round=round_id) for g in gens]
+        if right.empty:
+            return pd.DataFrame(out)
+        if any(g["filter_kind"] != "cuckoo" for g in out):
+            raise ValueError(
+                "seen-filter deletion requires filter_kind='cuckoo' "
+                "(bloom filters cannot delete — rebuild instead)"
+            )
+        from deepcrawl4ai_spark.frontier import cuckoo as CK
+
+        remaining = np.ones(len(right), dtype=bool)
+        for g in reversed(out):  # newest generation first
+            if not remaining.any():
+                break
+            table = CK.table_from_bytes(g["bits"])
+            sub = right["url_hash"][remaining]
+            fps, i1, i2 = CK.keys(sub, table.shape[0])
+            removed = CK.delete_batch(table, fps, i1, i2)
+            g["bits"] = CK.table_to_bytes(table)
+            g["n_items"] = max(0, int(g["n_items"]) - int(removed.sum()))
+            idx = np.flatnonzero(remaining)
+            remaining[idx[removed]] = False
+        return pd.DataFrame(out)
+
+    return (
+        filters.groupBy("partition_id")
+        .cogroup(hashed.groupBy("partition_id"))
+        .applyInPandas(_remove, FILTER_SCHEMA)
+    )
+
+
 def merge_filters(existing: DataFrame, new: DataFrame, round_id: int) -> DataFrame:
     """OR-merge two filter tables (associative, idempotent). Generations are
     identified by (partition_id, m_bits) — same-size filters share the hash
-    family, so their OR is a valid union filter."""
+    family, so their OR is a valid union filter. Bloom-only: cuckoo slots
+    collide under OR (add_to_filters/rebuild are the cuckoo merge paths)."""
     both = existing.unionByName(new)
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf["filter_kind"] != "bloom").any():
+            raise ValueError("merge_filters is bloom-only; cuckoo uses add/rebuild")
         m = int(pdf["m_bits"].iloc[0])
         acc = np.zeros(m // 8, dtype=np.uint8)
         for b in pdf["bits"]:
@@ -239,7 +374,16 @@ def maybe_seen(candidates: DataFrame, filters: DataFrame) -> DataFrame:
             return left
         hit_any = np.zeros(len(left), dtype=bool)
         # ≤ a handful of generation rows — the per-ROW work stays vectorized
-        for gen_bits, gen_m in zip(right["bits"], right["m_bits"]):
+        for gen_kind, gen_bits, gen_m in zip(
+            right["filter_kind"], right["bits"], right["m_bits"]
+        ):
+            if gen_kind == "cuckoo":
+                from deepcrawl4ai_spark.frontier import cuckoo as CK
+
+                table = CK.table_from_bytes(gen_bits)
+                fps, i1, i2 = CK.keys(left["url_hash"], table.shape[0])
+                hit_any |= CK.contains_batch(table, fps, i1, i2)
+                continue
             bits = np.frombuffer(gen_bits, dtype=np.uint8)
             pos = _bit_positions(left["url_hash"], int(gen_m))
             hit = (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
@@ -258,11 +402,14 @@ def filter_stats(filters: DataFrame) -> dict:
     """Tiny driver-side summary (bits never collected): total items/bits,
     generation count, and the combined false-positive estimate
     1 - Π(1 - fpr_gen), averaged over partitions."""
-    rows = filters.select("partition_id", "m_bits", "n_items").collect()
+    rows = filters.select("partition_id", "filter_kind", "m_bits", "n_items").collect()
     per_part: dict[int, float] = {}
+    # cuckoo per-generation FPR ≈ 2 buckets × 4 slots / 2^16 fingerprints
+    cuckoo_fpr = 2.0 * 4 / 65536
     for r in rows:
         keep = per_part.get(r["partition_id"], 1.0)
-        per_part[r["partition_id"]] = keep * (1.0 - est_fpr(r["n_items"], r["m_bits"]))
+        fpr = cuckoo_fpr if r["filter_kind"] == "cuckoo" else est_fpr(r["n_items"], r["m_bits"])
+        per_part[r["partition_id"]] = keep * (1.0 - fpr)
     combined = (
         sum(1.0 - keep for keep in per_part.values()) / len(per_part)
         if per_part
