@@ -100,6 +100,39 @@ def c2_pruning_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021, public — the canonical
+    LLM-corpus repetition/format filter set), closed-form per doc: word
+    count within [50, 100k], mean word length within [3, 10], symbol-to-word
+    ratio ≤ 0.1, ≥ 2 'stop words'. Gopher's stop-word rule is
+    list-parameterized (language-appropriate function words); this corpus is
+    synthetic tech vocabulary, so the list is its five most common function
+    words — the English list matches nothing here and would reject 100%.
+    Emits every doc with its signals and the final keep verdict (a pipeline
+    filters on `kept`). Pure JVM arithmetic, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    mean_wlen = (F.col("n_chars") - (n_words - 1)) / n_words
+    n_stop = F.regexp_count(F.col("text"), F.lit(r"\b(data|key|row|table|query)\b"))
+    n_symbol = F.regexp_count(F.col("text"), F.lit(r"[#@…]"))
+    kept = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_wlen >= 3.0)
+        & (mean_wlen <= 10.0)
+        & (n_symbol / n_words <= 0.1)
+        & (n_stop >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_wlen"),
+        n_stop.cast("long").alias("n_stop"),
+        n_symbol.cast("long").alias("n_symbol"),
+        kept.alias("kept"),
+    )
+
+
 def c2_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 ``threshold_type='dynamic'`` (reference crawl.py:338-345 configures
     PruningContentFilter(threshold=0.45, threshold_type='dynamic',

@@ -837,6 +837,30 @@ _q(
 )
 
 _q(
+    "text_gopher_rules",
+    X.text_gopher_rules,
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             n_chars,
+             len(regexp_extract_all(text, '\\b(data|key|row|table|query)\\b')) AS n_stop,
+             len(regexp_extract_all(text, '[#@…]')) AS n_symbol
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS mean_wlen,
+           n_stop, n_symbol,
+           (n_words >= 50 AND n_words <= 100000
+            AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words >= 3.0
+            AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words <= 10.0
+            AND CAST(n_symbol AS DOUBLE) / n_words <= 0.1
+            AND n_stop >= 2) AS kept
+    FROM t
+    """,
+)
+
+_q(
     "c2_dynamic_pruning",
     X.c2_dynamic_pruning,
     """
