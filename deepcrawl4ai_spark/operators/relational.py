@@ -348,6 +348,20 @@ def a7_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a9_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (OLAP breadth): the
+    latency-style p50/p95/p99 panel every crawl dashboard carries. Spark's
+    exact `percentile` matches DuckDB's quantile_cont semantics; at 100 TB
+    swap in approx_percentile (t-digest) — same plan shape, bounded memory."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 def a8_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (beyond the reference): per-user event counts spread across
     fixed event-type columns."""

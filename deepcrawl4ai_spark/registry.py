@@ -837,6 +837,19 @@ _q(
 )
 
 _q(
+    "a9_value_percentiles",
+    R.a9_value_percentiles,
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+
+_q(
     "text_gopher_rules",
     X.text_gopher_rules,
     """
