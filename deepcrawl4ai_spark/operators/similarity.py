@@ -239,3 +239,133 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# --- k-means training (the IVF centroids, learned instead of sampled) ---------
+
+
+def _assign_to_seed_centroids(emb: DataFrame) -> DataFrame:
+    """Argmax-cosine assignment against the IVF seed centroids
+    (vec_id % 50 == 0) — broadcast centroids, deterministic cid tie-break.
+    Shared by the oracle-checked single Lloyd step and ann_ivf_assign."""
+    e = emb.select(
+        "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nrm")
+    )
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cos_c = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    w1 = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", cos_c.alias("cos_c"))
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def ann_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd step of k-means over the embedding corpus, seeded by the
+    IVF sample centroids: assign every vector to its argmax-cosine centroid
+    (broadcast), then the per-DIMENSION mean of each cluster is the updated
+    centroid — flattened to (cid, dim, centroid_val, n_assigned) rows so the
+    DuckDB oracle compares scalar cells. Scale shape per iteration: one
+    broadcast join + one (cid, dim) partial-agg shuffle — the training loop
+    behind a real IVF index (kmeans_fixpoint is the convergence variant)."""
+    assigned = _assign_to_seed_centroids(load_table(spark, sf_dir, "embeddings"))
+    expl = assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+    counts = assigned.groupBy("cid").agg(F.count("*").alias("n_assigned"))
+    return (
+        expl.groupBy("cid", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"))
+        .join(counts, "cid")
+        .select("cid", "dim", "centroid_val", "n_assigned")
+    )
+
+
+def kmeans_fixpoint(
+    emb: DataFrame,
+    max_iters: int = 25,
+    tol: float = 1e-6,
+    plan_depths: list | None = None,
+) -> tuple[DataFrame, int]:
+    """Lloyd's k-means to convergence, seeded like ann_kmeans_update. Per
+    iteration: broadcast centroids → argmax-cosine assign → per-dim mean
+    rebuilt into centroid arrays (one shuffle) → localCheckpoint (lineage
+    truncation: plan depth constant — same discipline as pagerank_fixpoint).
+    Convergence = max centroid L2 movement < tol, computed cluster-side.
+
+    Returns ((cid, cv array<double>) centroids, iterations_run)."""
+    from deepcrawl4ai_spark.frontier.engine import _unpersist_local_checkpoint
+
+    e = emb.select(
+        "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nrm")
+    ).localCheckpoint()
+    cents = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform(F.col("v"), lambda x: x.cast("double")).alias("cv"),
+        )
+        .localCheckpoint()
+    )
+    iters = 0
+    for _ in range(max_iters):
+        cn = F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("cv"), F.col("cv"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        cos_c = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * cn)
+        w1 = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .select("vec_id", "v", "cid", cos_c.alias("cos_c"))
+            .withColumn("rk", F.row_number().over(w1))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "v", "cid")
+        )
+        nxt = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        if plan_depths is not None:
+            plan_depths.append(
+                len(nxt._jdf.queryExecution().optimizedPlan().toString().splitlines())
+            )
+        nxt = nxt.localCheckpoint()
+        iters += 1
+        move = (
+            nxt.withColumnRenamed("cv", "nv")
+            .join(cents, "cid")
+            .select(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("nv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("d")
+            )
+            .agg(F.max("d").alias("maxd"))
+            .head()["maxd"]
+        )
+        _unpersist_local_checkpoint(cents)
+        cents = nxt
+        if move is not None and move < tol:
+            break
+    _unpersist_local_checkpoint(e)
+    return cents, iters

@@ -1093,6 +1093,45 @@ _q(
 )
 
 _q(
+    "ann_kmeans_update",
+    S.ann_kmeans_update,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, cents.cid,
+             {_DOT.format(a='e.v', b='cents.cv')} / (e.nrm * cents.cn) AS cos_raw
+      FROM e CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_raw DESC, cid ASC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    av AS (
+      SELECT a.cid, e.v FROM assigned a JOIN e ON a.vec_id = e.vec_id
+    ),
+    expl AS (
+      SELECT cid, CAST(i - 1 AS INT) AS dim, CAST(v[i] AS DOUBLE) AS val
+      FROM av, generate_series(1, 64) AS t(i)
+    ),
+    counts AS (SELECT cid, count(*) AS n_assigned FROM assigned GROUP BY cid)
+    SELECT expl.cid, dim, round(avg(val), 4) AS centroid_val, n_assigned
+    FROM expl JOIN counts ON expl.cid = counts.cid
+    GROUP BY expl.cid, dim, n_assigned
+    """,
+)
+
+_q(
     "ann_ivf_topk",
     S.ann_ivf_topk,
     f"""

@@ -74,3 +74,33 @@ def test_clusters_fixpoint_matches_unrolled_and_converges(spark):
     # survivor-selection property: every cluster id is its own keeper
     keepers = {c for c in got.values()}
     assert all(got[k] == k for k in keepers)
+
+
+def test_kmeans_fixpoint_first_step_matches_query_and_converges(spark):
+    """kmeans_fixpoint(max_iters=1) reproduces the oracle-checked Lloyd step
+    exactly; run to tolerance it terminates by convergence with constant
+    per-iteration plan depth."""
+    from deepcrawl4ai_spark.operators.similarity import (
+        ann_kmeans_update,
+        kmeans_fixpoint,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    one, iters1 = kmeans_fixpoint(emb, max_iters=1)
+    assert iters1 == 1
+    got = {
+        (r["cid"], d): round(v, 4)
+        for r in one.collect()
+        for d, v in enumerate(r["cv"])
+    }
+    want = {
+        (r["cid"], r["dim"]): r["centroid_val"]
+        for r in ann_kmeans_update(spark, SF).collect()
+    }
+    assert got == want
+
+    depths: list[int] = []
+    cents, iters = kmeans_fixpoint(emb, max_iters=25, tol=1e-9, plan_depths=depths)
+    assert 1 < iters < 25, f"expected convergence, ran {iters}"
+    assert len(set(depths[1:])) == 1, depths
+    assert cents.count() == one.count()  # no cluster lost

@@ -457,3 +457,28 @@ def test_c4_pluggable_extractor(spark):
     merged = json.loads(row["extracted"])
     assert merged["wc"].startswith("wc:")
     assert merged[f"seen_chunk_{row['n_chunks'] - 1}"] == str(row["n_chunks"] - 1)
+
+
+def test_client_rate_limiter_token_bucket():
+    """API-edge per-client token bucket (reference server.py:302-348,
+    redisCache.py:85-96): burst to capacity, reject past it, refill over
+    time, per-client isolation, Retry-After arithmetic — all on a logical
+    clock (deterministic, replay-exact)."""
+    from deepcrawl4ai_spark.streaming.ratelimit import ClientRateLimiter
+
+    rl = ClientRateLimiter(capacity=10, refill_rate=5.0)
+    # burst: exactly `capacity` requests pass at t=0
+    grants = [rl.allow("alice", 0.0) for _ in range(12)]
+    assert grants == [True] * 10 + [False] * 2
+    # another client is unaffected by alice's exhaustion
+    assert rl.allow("bob", 0.0)
+    # retry-after: 1 token needs 1/refill_rate seconds
+    assert rl.retry_after("alice", 0.0) == pytest.approx(0.2)
+    # refill: after 1 s at 5 tokens/s alice can make 5 more requests
+    grants = [rl.allow("alice", 1.0) for _ in range(6)]
+    assert grants == [True] * 5 + [False]
+    # balance never exceeds capacity no matter how long idle
+    assert rl.balance("bob", 1000.0) == 10.0
+    # non-monotonic timestamps never mint tokens (replayed frames)
+    rl.allow("carol", 5.0)
+    assert rl.balance("carol", 4.0) == 9.0
