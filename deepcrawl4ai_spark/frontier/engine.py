@@ -219,11 +219,21 @@ def distributed_limit(
 
 
 class CrawlEngine:
-    def __init__(self, spark: SparkSession, store_root: str, cfg: EngineConfig | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        cfg: EngineConfig | None = None,
+        robots_rows: list[dict] | None = None,
+    ):
+        """*robots_rows* overrides the politeness dim (default: the synthetic
+        config table). Pass fetcher.fetch_robots_rows(...) output to drive
+        politeness from robots.txt bodies fetched over the wire — the
+        north_rule's robots-cache, end to end."""
         self.spark = spark
         self.cfg = cfg or EngineConfig()
         self.store = CheckpointStore(store_root)
-        robots = WG.robots_rows()
+        robots = robots_rows if robots_rows is not None else WG.robots_rows()
         scaled = [r["max_tokens"] * self.cfg.budget_scale for r in robots]
         self._max_budget = max(scaled, default=2)
         # upper bound on a round's host-capped selection IF every robots

@@ -316,3 +316,76 @@ def run_fetch_variants(selected: DataFrame) -> DataFrame:
     DataFrame model SURVEY §2.7 proposed for browser-bound scroll/load-more."""
     cols = ["url_hash", "url_norm", "host", "depth", "score", "attempt"]
     return selected.select(*cols).mapInPandas(fetch_variants_map, VARIANT_SCHEMA)
+
+
+# --- robots-cache fill over the transport (north_rule "robots.txt cache") -----
+
+
+def fetch_robots_rows(spark, hosts: list[str], transport: dict) -> list[dict]:
+    """Distributed robots-cache fill: GET /robots.txt for every host over the
+    pooled http transport (executor-side, mapInPandas — at 10^6 hosts this is
+    a partitioned fetch job, never a driver loop), parse the bodies with the
+    REP parser (functions/robots), and return the engine's politeness dim
+    rows. The result is a DIM table (one row per host) — collecting it is
+    what broadcasting it means.
+
+    Caveat: robots.txt carries crawl-delay and path rules; token-bucket
+    REFILL is crawler config, not REP — rows default refill = capacity, so
+    use with token_bucket=False for exact parity with a config-driven table.
+    """
+    import urllib.parse
+
+    import http.client as _hc
+
+    from deepcrawl4ai_spark.functions.robots import (
+        parse_robots_txt,
+        to_engine_rows,
+    )
+
+    base = transport["base"]
+    parts = urllib.parse.urlsplit(base)
+
+    def _get(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sess = get_session(f"http:{base}")
+        for pdf in batches:
+            bodies = []
+            for h in pdf["host"]:
+                path = "/robots.txt?h=" + urllib.parse.quote(h, safe="")
+                body = ""
+                for attempt in range(2):
+                    conn = sess.client
+                    if conn is None:
+                        conn = _hc.HTTPConnection(
+                            parts.hostname, parts.port or 80, timeout=30
+                        )
+                        sess.client = conn
+                    try:
+                        conn.request("GET", path)
+                        resp = conn.getresponse()
+                        data = resp.read()
+                        if resp.status == 200:
+                            body = data.decode()
+                        break  # 404 = no robots → empty rules (allow all)
+                    except (ConnectionError, _hc.HTTPException, OSError):
+                        try:
+                            conn.close()
+                        except Exception:  # noqa: BLE001
+                            pass
+                        sess.client = None
+                        if attempt == 1:
+                            raise
+                bodies.append(body)
+            yield pd.DataFrame({"host": pdf["host"], "robots_txt": bodies})
+
+    hdf = spark.createDataFrame([(h,) for h in hosts], "host string")
+    docs = hdf.repartition(min(max(len(hosts), 1), 32)).mapInPandas(
+        _get, "host string, robots_txt string"
+    )
+    parsed = [
+        dict(
+            parse_robots_txt(r["robots_txt"]),
+            host=r["host"],
+        )
+        for r in docs.collect()
+    ]
+    return to_engine_rows(parsed)

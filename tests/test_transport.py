@@ -100,3 +100,37 @@ def test_http_transport_golden_parity(spark, tmp_path_factory, webserver):
     # with a non-replayable transport
     total_popped = sum(m["urls_popped"] for m in m_h)
     assert webserver.n_requests == total_popped
+
+
+def test_full_stack_http_robots_and_pages(spark, tmp_path_factory, webserver):
+    """End-to-end wire crawl: the politeness dim is built from robots.txt
+    bodies FETCHED over HTTP (distributed mapInPandas fill → REP parse →
+    engine rows) and pages are fetched over HTTP too; the crawl byte-equals
+    the all-synthetic run. Token-bucket refill is crawler config, not REP,
+    so this runs the default (capacity-per-round) politeness mode."""
+    from deepcrawl4ai_spark.frontier.fetcher import fetch_robots_rows
+
+    transport = {"kind": "http", "base": webserver.base}
+    rows = fetch_robots_rows(spark, WG.hosts(), transport)
+    ref = {r["host"]: r for r in WG.robots_rows()}
+    assert len(rows) == len(ref)
+    for r in rows:
+        assert r["max_tokens"] == ref[r["host"]]["max_tokens"]
+        assert r["disallow_rules"] == ref[r["host"]]["disallow_rules"]
+
+    root = str(tmp_path_factory.mktemp("fullstack"))
+    eng = CrawlEngine(
+        spark,
+        root,
+        EngineConfig(max_rounds=ROUNDS, transport=transport, **CFG),
+        robots_rows=rows,
+    )
+    m_wire = eng.run(WG.gen_seeds(N_SEEDS))
+    eng_s = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("fullstack_ref")),
+        EngineConfig(max_rounds=ROUNDS, **CFG),
+    )
+    m_ref = eng_s.run(WG.gen_seeds(N_SEEDS))
+    assert [m["crawl_order"] for m in m_wire] == [m["crawl_order"] for m in m_ref]
+    assert [m["urls_popped"] for m in m_wire] == [m["urls_popped"] for m in m_ref]
