@@ -105,6 +105,39 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION (the GPT-3/PaLM-style training-data step,
+    public): flag every corpus doc sharing any word n-gram with the held-out
+    eval set (here: doc_id % 100 == 0), with the count of distinct shared
+    grams. Gram size is corpus-calibrated: 4 here (the synthetic vocabulary
+    is ~40 tokens, so 8-grams never collide and the check would be vacuous);
+    production corpora use 8-13.
+
+    Scale shape: shingle both sides, hash the grams, equi-join corpus grams
+    against the (tiny, broadcast) eval gram set, partial-agg count-distinct
+    per doc — one broadcast join, no pair space, no shuffle of the corpus
+    side beyond the final per-doc agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    grams = F.when(
+        F.size("w") >= 4,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 4),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i + 1, 4))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = w.select("doc_id", F.explode(grams).alias("gh"))
+    eval_grams = (
+        g.filter(F.col("doc_id") % 100 == 0).select("gh").distinct()
+    )
+    return (
+        g.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n_shared"))
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: 8 permutations, 8 bands × 1 row.
     Two docs are candidates iff any minhash matches."""

@@ -304,6 +304,32 @@ _q(
 )
 
 _q(
+    "decontaminate_ngrams",
+    D.decontaminate_ngrams,
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    g0 AS (
+      SELECT doc_id, words,
+             unnest(CASE WHEN n >= 4
+                    THEN generate_series(1, n - 3) ELSE [] END) AS i
+      FROM w
+    ),
+    g AS (
+      SELECT doc_id, md5(array_to_string(words[i : i+3], ' ')) AS gh FROM g0
+    ),
+    ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 100 = 0)
+    SELECT doc_id, count(DISTINCT gh) AS n_shared
+    FROM g JOIN ev USING (gh)
+    WHERE doc_id % 100 <> 0
+    GROUP BY doc_id
+    """,
+)
+
+_q(
     "dedup_paragraphs",
     D.dedup_paragraphs,
     """
