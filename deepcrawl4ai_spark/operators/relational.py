@@ -362,6 +362,36 @@ def a9_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a9_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB twin of a9_value_percentiles (VERDICT r3 #7): the panel is
+    computed with `approx_percentile` (t-digest-style sketch — bounded memory
+    per group, map-side partial aggregation, no full per-group sort), then
+    VERIFIED in-query against a ±1%-RANK band from the exact percentiles:
+    approx_ok is true iff each sketch value lies within [percentile(p-.01),
+    percentile(p+.01)]. The oracle emits the exact panel with a literal TRUE,
+    so the hash gate fails if the sketch ever drifts outside the band — a
+    tolerance-based oracle, not a bitwise one. Accuracy 10000 bounds rank
+    error at n/10000 ≤ the band at these group sizes."""
+    events = load_table(spark, sf_dir, "events")
+    panel = events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+        F.expr(
+            "approx_percentile(value, array(0.5D, 0.95D, 0.99D), 10000)"
+        ).alias("_ap"),
+        F.expr("percentile(value, array(0.49D, 0.94D, 0.98D))").alias("_lo"),
+        F.expr("percentile(value, array(0.51D, 0.96D, 1.0D))").alias("_hi"),
+    )
+    ok = F.lit(True)
+    for k in range(3):
+        ok = ok & (F.col("_ap")[k] >= F.col("_lo")[k]) & (
+            F.col("_ap")[k] <= F.col("_hi")[k]
+        )
+    return panel.select("event_type", "p50", "p95", "p99", "n", ok.alias("approx_ok"))
+
+
 def a8_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (beyond the reference): per-user event counts spread across
     fixed event-type columns."""

@@ -330,6 +330,55 @@ _q(
 )
 
 _q(
+    "decontaminate_apply",
+    D.decontaminate_apply,
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    g0 AS (
+      SELECT doc_id, words,
+             unnest(CASE WHEN n >= 4
+                    THEN generate_series(1, n - 3) ELSE [] END) AS i
+      FROM w
+    ),
+    g AS (
+      SELECT doc_id, i, md5(array_to_string(words[i : i+3], ' ')) AS gh FROM g0
+    ),
+    ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 100 = 0),
+    cont AS (
+      SELECT DISTINCT doc_id, i FROM g JOIN ev USING (gh) WHERE doc_id % 100 <> 0
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, widx FROM (
+        SELECT doc_id, unnest(generate_series(i, i + 3)) AS widx FROM cont
+      )
+    ),
+    wx0 AS (
+      SELECT doc_id, words, unnest(generate_series(1, n)) AS wi
+      FROM w WHERE doc_id % 100 <> 0
+    ),
+    wx AS (SELECT doc_id, wi, words[wi] AS word FROM wx0),
+    kept AS (
+      SELECT wx.doc_id, wi, word FROM wx
+      LEFT JOIN cov ON cov.doc_id = wx.doc_id AND cov.widx = wx.wi
+      WHERE cov.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY wi) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id, COALESCE(n_kept, 0) AS n_kept,
+           n - COALESCE(n_kept, 0) AS n_removed,
+           COALESCE(clean_text, '') AS clean_text
+    FROM w LEFT JOIN agg USING (doc_id) WHERE doc_id % 100 <> 0
+    """,
+)
+
+_q(
     "dedup_paragraphs",
     D.dedup_paragraphs,
     """
@@ -871,6 +920,20 @@ _q(
            round(quantile_cont(value, 0.95), 6) AS p95,
            round(quantile_cont(value, 0.99), 6) AS p99,
            count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+
+_q(
+    "a9_percentiles_approx",
+    R.a9_percentiles_approx,
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           count(*) AS n,
+           TRUE AS approx_ok
     FROM events GROUP BY event_type
     """,
 )
@@ -1532,62 +1595,66 @@ SCALE_BASELINES: dict[str, str] = {
     "dedup_ngram_jaccard": "dedup_minhash_verified",
     "dedup_embedding_cosine": "dedup_embedding_lsh",
     "ann_topk_cosine": "ann_ivf_topk",
+    # exact percentile = full per-group sort; the sketch twin is the
+    # bounded-memory 100-TB path (its oracle is tolerance-based, ±1% rank)
+    "a9_value_percentiles": "a9_percentiles_approx",
 }
 
 _DRIVER_WINDOW = [
-    # unchecked in r02 (registered past the cap) — all tool-verified green
-    "p4_task_id_predicate",
-    "t1_window_counts",
-    "tpch_q6",
-    "ann_ivf_assign",
-    "ann_ivf_topk",
-    "ann_ivf_multiprobe",
-    "asof_join_events",
-    "sessionize_native",
-    "train_split_docs",
-    "host_pagerank",
-    "dedup_minhash_verified",
-    "dedup_clusters_lp",
-    "a7_rollup_counts",
-    "a8_pivot_status",
-    "dedup_embedding_lsh",
-    # new this round
-    "c7_css_selectors",
-    "c2_dynamic_pruning",
-    # §2 / scale-path representatives (r02-green)
+    # new this round (r04)
+    "decontaminate_apply",
+    "a9_percentiles_approx",
+    # never driver-checked before r04 (registered past the r03 cap) — all
+    # green in CORRECTNESS_FULL_r03 / tool-verified; rotation per VERDICT r3
+    "a6_queue_length",
+    "j4_broadcast_lookup",
+    "p1_url_host",
+    "p7_status_color",
+    "p8_status_convert",
+    "decontaminate_ngrams",
+    "dedup_paragraphs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_topk_cosine",
+    "ann_lsh_buckets",
+    "c2_pruning_filter",
+    "c2_span_pruning",
+    "c7_selector_inference",
+    "a9_value_percentiles",
+    "text_gopher_rules",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5ish",
+    "dedup_exact_keep",
+    "ann_kmeans_update",
+    "sessionize_events",
+    # §2 / scale-path representatives (long-stable, r02+r03-green)
     "a1_success_fail_counts",
-    "a2_error_rate",
-    "a4_operation_metrics",
     "r1_dynamic_rate_limit",
     "r8_retry_backoff",
     "o1_priority_topk",
     "o2_round_budget",
-    "o5_stream_paging",
     "t8_due_release",
     "j1_stream_dedup",
     "j3_exact_antijoin",
-    "j5_dim_join",
     "p1_url_normalize",
-    "p2_url_validation",
-    "p3_url_slug",
     "p5_external_link_filter",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_verified",
     "dedup_simhash_banded",
+    "dedup_embedding_lsh",
+    "dedup_clusters_lp",
+    "ann_ivf_topk",
     "ann_lsh_topk",
     "text_token_count",
-    "text_quality_score",
     "text_langid",
-    "text_fingerprint",
     "pack_sequences",
     "sample_stratified",
     "c1_interleave_stats",
-    "c3_bm25_rank",
-    "c4_chunk_plan",
     "c6_media_extraction",
-    "c8_lxml_strategy",
-    "f4_scroll_variants",
-    "f5_load_more_clicks",
+    "c7_css_selectors",
 ]
 
 

@@ -134,3 +134,190 @@ def test_full_stack_http_robots_and_pages(spark, tmp_path_factory, webserver):
     m_ref = eng_s.run(WG.gen_seeds(N_SEEDS))
     assert [m["crawl_order"] for m in m_wire] == [m["crawl_order"] for m in m_ref]
     assert [m["urls_popped"] for m in m_wire] == [m["urls_popped"] for m in m_ref]
+
+
+# --- in-partition fan-out + RFC-safe retry (round 4) ---------------------------
+
+
+def test_in_partition_fetch_concurrency():
+    """O4: with a slow origin (100 ms/page), 40 URLs through ONE fetch_map
+    partition must finish in ~len/concurrency × delay, each URL hitting the
+    wire exactly once, output rows in input order, spans byte-equal to the
+    synthetic transport. Sequential would take ≥ 4 s — the bound proves ≥
+    ~4-way real overlap inside the partition."""
+    import time
+
+    import pandas as pd
+
+    from deepcrawl4ai_spark.frontier import fetcher as FE
+    from deepcrawl4ai_spark.frontier.httpserver import SyntheticWebServer
+
+    urls = [WG.page_url(0, j) for j in range(40)]
+    pdf = pd.DataFrame(
+        {
+            "url_norm": urls,
+            "url_hash": [WG.sha1_hex(u) for u in urls],
+            "host": [u.split("://")[1].split("/")[0] for u in urls],
+            "depth": [0] * len(urls),
+            "score": [0.0] * len(urls),
+            "attempt": [0] * len(urls),
+        }
+    )
+    FE.pool_reset()
+    with SyntheticWebServer(delay_s=0.1) as srv:
+        fmap = FE.make_fetch_map(
+            {"kind": "http", "base": srv.base, "concurrency": 10}
+        )
+        t0 = time.time()
+        out = pd.concat(list(fmap(iter([pdf]))), ignore_index=True)
+        wall = time.time() - t0
+        assert srv.n_requests == len(urls)  # exactly once per URL
+    assert wall < 2.0, f"no in-partition overlap: {wall:.2f}s for 40×0.1s"
+    assert list(out["url_norm"]) == urls  # input order preserved
+    for u, st, spans in zip(out["url_norm"], out["fetch_status"], out["spans"]):
+        ref = WG.fetch_page(u)
+        assert st == ref.fetch_status
+        if st == "success":
+            got = tuple(
+                (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans
+            )
+            assert got == ref.spans
+    FE.pool_reset()
+
+
+class _FakeResp:
+    def __init__(self, status=200, body=b"ok", fail_read=False):
+        self.status = status
+        self.will_close = False
+        self._body = body
+        self._fail = fail_read
+
+    def read(self):
+        if self._fail:
+            raise ConnectionResetError("reset mid-response")
+        return self._body
+
+
+class _FakeConn:
+    """Scriptable connection for retry-semantics units."""
+
+    def __init__(self, fail_request=False, resp=None):
+        self.fail_request = fail_request
+        self.resp = resp or _FakeResp()
+        self.requests = 0
+        self.closed = False
+
+    def request(self, method, path):
+        self.requests += 1
+        if self.fail_request:
+            raise ConnectionResetError("stale keep-alive")
+
+    def getresponse(self):
+        return self.resp
+
+    def close(self):
+        self.closed = True
+
+
+def test_pooled_get_retries_only_stale_reused_connection(webserver):
+    """A REUSED pooled connection that dies before the response begins is
+    retried exactly once on a fresh connection (the keep-alive race); the
+    request is not double-sent to a live server."""
+    import urllib.parse
+
+    from deepcrawl4ai_spark.frontier import fetcher as FE
+
+    FE.pool_reset()
+    sess = FE.get_session("retry_unit")
+    stale = _FakeConn(fail_request=True)
+    sess.checkin(stale)  # pretend it's an idle pooled keep-alive conn
+    parts = urllib.parse.urlsplit(webserver.base)
+    before = webserver.n_requests
+    u = WG.page_url(0, 0)
+    status, body = FE._pooled_get(
+        sess, parts.hostname, parts.port, "/page?u=" + urllib.parse.quote(u, safe="")
+    )
+    assert status in (200, 503)
+    assert stale.requests == 1 and stale.closed  # stale conn tried once, closed
+    assert webserver.n_requests == before + 1  # the retry hit the wire ONCE
+    FE.pool_reset()
+
+
+def test_pooled_get_never_retries_fresh_or_midread_failures():
+    """ADVICE r3: a FRESH connection failing raises (no silent re-GET), and a
+    failure AFTER the response has begun (request provably received) raises
+    instead of double-fetching."""
+    import pytest as _pytest
+
+    from deepcrawl4ai_spark.frontier import fetcher as FE
+
+    FE.pool_reset()
+    # fresh-connection failure: nothing pooled, unroutable port → raise
+    sess = FE.get_session("fresh_unit")
+    with _pytest.raises(OSError):
+        FE._pooled_get(sess, "127.0.0.1", 1, "/page", timeout=0.5)
+    # mid-read failure on a reused conn: request() succeeded (server got it),
+    # read() dies → must RAISE, and must NOT touch any other connection
+    sess2 = FE.get_session("midread_unit")
+    dying = _FakeConn(resp=_FakeResp(fail_read=True))
+    sess2.checkin(dying)
+    with _pytest.raises(ConnectionResetError):
+        FE._pooled_get(sess2, "127.0.0.1", 1, "/page")
+    assert dying.requests == 1 and dying.closed
+    assert sess2.n_idle() == 0  # nothing retried, nothing pooled
+    FE.pool_reset()
+
+
+def test_robots_df_distributed_no_driver_collect(spark, webserver):
+    """ADVICE r3 #2: the robots-cache fill stays a DataFrame end to end — no
+    DataFrame.collect anywhere in fetch_robots_df, at 5k hosts (unknown
+    hosts 404 → allow-all rows). The count and spot checks run AFTER the
+    collect-trap is removed."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    from deepcrawl4ai_spark.frontier.fetcher import fetch_robots_df
+
+    hosts_df = spark.range(5000).select(
+        F.concat(F.lit("x"), F.col("id").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        )
+    )
+    transport = {"kind": "http", "base": webserver.base}
+    with mock.patch.object(
+        _DF, "collect", side_effect=AssertionError("driver collect in robots path")
+    ):
+        dim = fetch_robots_df(hosts_df.repartition(16), transport)
+    assert dim.count() == 5000
+    row = dim.filter(F.col("host") == "x0.example.com").head()
+    assert row["disallow_rules"] == [] and row["max_tokens"] >= 1
+
+
+def test_engine_with_robots_df_wire_parity(spark, tmp_path_factory, webserver):
+    """CrawlEngine(robots_df=...) — politeness dim fetched AND consumed
+    distributed (localCheckpointed robots cache, 2-value driver aggregate) —
+    byte-equals the synthetic-config crawl."""
+    from pyspark.sql import functions as F
+
+    from deepcrawl4ai_spark.frontier.fetcher import fetch_robots_df
+
+    transport = {"kind": "http", "base": webserver.base}
+    hosts_df = spark.createDataFrame([(h,) for h in WG.hosts()], "host string")
+    dim = fetch_robots_df(hosts_df.repartition(8), transport)
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("robotsdf_store")),
+        EngineConfig(max_rounds=ROUNDS, transport=transport, **CFG),
+        robots_df=dim,
+    )
+    m_wire = eng.run(WG.gen_seeds(N_SEEDS))
+    eng_s = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("robotsdf_ref")),
+        EngineConfig(max_rounds=ROUNDS, **CFG),
+    )
+    m_ref = eng_s.run(WG.gen_seeds(N_SEEDS))
+    assert [m["crawl_order"] for m in m_wire] == [m["crawl_order"] for m in m_ref]
+    assert [m["urls_popped"] for m in m_wire] == [m["urls_popped"] for m in m_ref]
