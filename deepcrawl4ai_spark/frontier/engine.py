@@ -950,6 +950,21 @@ class CrawlEngine:
         return max(self.cfg.min_budget, int(self.cfg.global_budget * factor))
 
     def run(self, seed_urls: list[str] | None = None, on_round=None) -> list[dict]:
+        out = []
+        for m in self.round_iter(seed_urls):
+            out.append(m)
+            if on_round is not None:
+                on_round(m)
+        return out
+
+    def round_iter(self, seed_urls: list[str] | None = None):
+        """Generator seam for the round loop (T1): each next() executes and
+        commits exactly ONE frontier round and yields its metrics; exhaustion
+        = drained queue (or max_rounds/cancel). The batch driver (run) and
+        the Structured-Streaming driver (streaming/structured
+        .run_streaming_crawl's foreachBatch) both consume THIS, so per-round
+        semantics — controller state, bloom sizing, retry skip-ahead — are
+        one code path, not two."""
         if seed_urls is not None:
             self.submit_seeds(seed_urls)
         last = self.store.last_round()
@@ -975,7 +990,6 @@ class CrawlEngine:
         # below this the initial MIN_BITS floor still has headroom — never
         # rebuild inside it
         rebuild_floor = bloom.N_PARTITIONS * bloom.MIN_BITS // bloom.BITS_PER_ITEM
-        out = []
         import time as _time
 
         r = last + 1
@@ -1013,8 +1027,5 @@ class CrawlEngine:
             frontier, filters = nf, nflt
             last_metrics = m
             seen_total += m.get("new_frontier", 0) or 0
-            out.append(m)
-            if on_round is not None:
-                on_round(m)
+            yield m
             r += 1
-        return out

@@ -59,3 +59,66 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> list:
     )
     q.awaitTermination()
     return q.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def run_streaming_crawl(
+    spark: SparkSession,
+    store_root: str,
+    cfg,
+    seed_urls: list[str] | None = None,
+    robots_rows: list[dict] | None = None,
+    timeout_s: float = 600.0,
+) -> list[dict]:
+    """T1 under the STREAMING RUNTIME (VERDICT r3 #6): drive the frontier
+    loop from a Structured-Streaming query — a rate source ticks micro-
+    batches and each foreachBatch invocation executes exactly one committed
+    engine round via CrawlEngine.round_iter, with the checkpoint store as
+    the (only) state. Engine semantics are untouched: foreachBatch consumes
+    the SAME generator the batch driver does, so a streaming drain is
+    metric-equal to the batch loop round for round (tests/test_streaming.py
+    asserts it), and a killed stream resumes from the last committed
+    snapshot exactly like a killed batch run (T2/T7).
+
+    The rate-source rows themselves are ignored — the tick is a scheduler,
+    not data (the reference's worker loop wakes on queue signal the same
+    way, crawl.py:189-214). Returns the per-round metrics list."""
+    import time
+
+    from deepcrawl4ai_spark.frontier.engine import CrawlEngine
+
+    eng = CrawlEngine(spark, store_root, cfg, robots_rows=robots_rows)
+    gen = eng.round_iter(seed_urls)
+    out: list[dict] = []
+    state = {"done": False, "err": None}
+
+    def _one_round(df, batch_id):  # noqa: ARG001 — tick only, data unused
+        if state["done"]:
+            return
+        try:
+            out.append(next(gen))
+        except StopIteration:
+            state["done"] = True
+        except Exception as e:  # noqa: BLE001 — surface to the main thread
+            state["err"] = e
+            state["done"] = True
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "10")
+        .load()
+        .writeStream.foreachBatch(_one_round)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        t0 = time.time()
+        while q.isActive and not state["done"] and time.time() - t0 < timeout_s:
+            time.sleep(0.2)
+    finally:
+        # stop from the MAIN thread (stop() inside foreachBatch deadlocks —
+        # it joins the very micro-batch thread that called it)
+        q.stop()
+        q.awaitTermination(30)
+    if state["err"] is not None:
+        raise state["err"]
+    return out

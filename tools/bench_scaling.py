@@ -27,8 +27,11 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
-def build_frontier(spark, n_urls: int):
-    """Uniformly sample the universe into a queued frontier — pure SQL."""
+def build_frontier(spark, n_urls: int, skew_hot: float = 0.0):
+    """Sample the universe into a queued frontier — pure SQL. skew_hot > 0
+    routes that FRACTION of samples straight to host 0's page range (the
+    mega-host stress: e.g. 0.5 → one host holds ~half the queued pages),
+    the rest stay page-count-weighted across the universe."""
     from pyspark.sql import functions as F
 
     from deepcrawl4ai_spark.frontier import webgraph as WG
@@ -50,8 +53,13 @@ def build_frontier(spark, n_urls: int):
     ranges = spark.createDataFrame(
         rows, "host_idx int, lo long, hi long, host string, pages int"
     )
+    pages0 = WG.host_pages()[0]
+    g_uniform = (F.col("id") * 2654435761) % total
+    g_hot = (F.col("id") * 2654435761) % pages0  # host 0 occupies [0, pages0)
     ids = spark.range(0, n_urls).select(
-        ((F.col("id") * 2654435761) % total).alias("g")
+        F.when(
+            (F.col("id") % 1_000_000) < int(skew_hot * 1_000_000), g_hot
+        ).otherwise(g_uniform).alias("g")
     )
     joined = ids.join(
         F.broadcast(ranges), (F.col("g") >= F.col("lo")) & (F.col("g") < F.col("hi"))
@@ -90,6 +98,19 @@ def main() -> None:
         help="deterministic per-page CPU work (ms) simulating realistic "
         "fetch+parse cost; 0 disables",
     )
+    ap.add_argument(
+        "--skew-hot",
+        type=float,
+        default=0.0,
+        help="fraction of the frontier routed to host 0 (mega-host skew "
+        "stress; 0 = page-count-weighted universe)",
+    )
+    ap.add_argument(
+        "--verify-politeness",
+        action="store_true",
+        help="after the run, assert no (round, host) exceeded its per-host "
+        "budget (the skew leg's invariant check)",
+    )
     args = ap.parse_args()
     # must be set before the session so python workers inherit it
     os.environ["CRAWL_FETCH_WORK_MS"] = str(args.fetch_work_ms)
@@ -122,7 +143,7 @@ def main() -> None:
             ),
         )
         t_seed = time.time()
-        eng.submit_frontier(build_frontier(spark, args.frontier))
+        eng.submit_frontier(build_frontier(spark, args.frontier, args.skew_hot))
         seed_sec = time.time() - t_seed
 
         t0 = time.time()
@@ -133,6 +154,7 @@ def main() -> None:
         round_secs = [m.get("_sec") for m in metrics]
         out = {
             "cores": args.cores,
+            "skew_hot": args.skew_hot,
             "frontier_urls": args.frontier,
             "rounds": len(metrics),
             "urls_popped": popped,
@@ -154,12 +176,45 @@ def main() -> None:
                         "bloom",
                         "bloom_built_n",
                         "bloom_rebuilt",
+                        "salted",
                     )
                     if k in m
                 }
                 for m in metrics
             ],
         }
+        if args.verify_politeness:
+            # invariant: no (round, host) ever exceeded its per-host budget —
+            # the salted selection must stay EXACT under skew, not just fast
+            from pyspark.sql import functions as F
+
+            per = (
+                eng.store.read(spark, "results")
+                .groupBy("round", "host")
+                .agg(F.count("*").alias("n"))
+                .join(eng.robots_df.select("host", "max_tokens"), "host", "left")
+                .withColumn(
+                    "budget",
+                    F.coalesce(
+                        F.col("max_tokens"), F.lit(2 * args.budget_scale)
+                    ),
+                )
+            )
+            viol = per.filter(F.col("n") > F.col("budget")).count()
+            hot = (
+                per.orderBy(F.desc("n"))
+                .select("round", "host", "n", "budget")
+                .head()
+            )
+            out["politeness_ok"] = viol == 0
+            out["politeness_violations"] = viol
+            if hot is not None:
+                out["hottest_host_round"] = {
+                    "round": hot["round"],
+                    "host": hot["host"],
+                    "fetched": hot["n"],
+                    "budget": hot["budget"],
+                }
         print(json.dumps(out))
         if args.out:
             with open(args.out, "w") as f:
