@@ -51,6 +51,8 @@ EXTRAS = [
     "c2_dynamic_pruning",
     "dedup_paragraphs",
     "ann_ivf_topk",
+    "decontaminate_apply",
+    "a9_percentiles_approx",
 ]
 
 FRONTIER_SEEDS = 2000
