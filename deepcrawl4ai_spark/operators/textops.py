@@ -243,3 +243,96 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(25),
     )
     return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document REPETITION removal stats (the Gopher/RefinedWeb
+    repetition rules, public: docs whose content is dominated by repeated
+    fragments are boilerplate/spam): per doc —
+    - dup_word_frac: 1 − distinct words / total words,
+    - top_bigram_frac: the most frequent word-bigram's share of all bigrams,
+    - keep: dup_word_frac ≤ 0.80 AND top_bigram_frac ≤ 0.18 (Gopher's
+      top-2-gram-coverage rule shape; thresholds corpus-calibrated — the
+      synthetic vocabulary is ~40 words, so absolute dup rates run high).
+
+    Scale shape: two partial-agg groupBys on (doc, token) — the bigram max
+    via one more per-doc agg — joined back per doc. No pair space, no
+    window over the corpus; everything JVM codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    words = w.select("doc_id", F.explode("w").alias("word"))
+    word_stats = words.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.count_distinct("word").alias("n_distinct"),
+    )
+    bigrams = w.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1]),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    bg_top = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    out = word_stats.join(bg_top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(
+            F.coalesce(F.col("top_bg") / F.col("n_bg"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+    keep = (F.col("dup_word_frac") <= 0.80) & (F.col("top_bigram_frac") <= 0.18)
+    return out.withColumn("keep", keep)
+
+
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (the standard pre-training scrub: emails/phones →
+    placeholder tokens). The synthetic corpus is PII-free by construction,
+    so deterministic PII is INJECTED per doc (an email + a phone derived
+    from doc_id, appended to the text) and then the masker — two anchored
+    regexp_replace passes, pure scan-side codegen — must find and redact
+    exactly those. Output: doc_id, n_emails, n_phones, masked tail.
+
+    At 100 TB this is the shape that matters: regexp_replace over a string
+    column is embarrassingly parallel, no shuffle, whole-stage codegen; the
+    injected-PII trick doubles as a RECALL oracle (every doc must end with
+    exactly one [EMAIL] and one [PHONE])."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("dirty"),
+    )
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_re = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    masked = dirty.select(
+        "doc_id",
+        F.regexp_count("dirty", F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count("dirty", F.lit(phone_re)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("dirty", email_re, "[EMAIL]"), phone_re, "[PHONE]"
+        ).alias("masked"),
+    )
+    return masked.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.substring(F.col("masked"), -40, 40).alias("masked_tail"),
+    )

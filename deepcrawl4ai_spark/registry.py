@@ -963,6 +963,74 @@ _q(
 )
 
 _q(
+    "text_repetition_filter",
+    X.text_repetition_filter,
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    wx AS (SELECT doc_id, unnest(words) AS word FROM w),
+    ws AS (
+      SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+      FROM wx GROUP BY doc_id
+    ),
+    bg0 AS (
+      SELECT doc_id, words,
+             unnest(CASE WHEN n >= 2
+                    THEN generate_series(1, n - 1) ELSE [] END) AS i
+      FROM w
+    ),
+    bg AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS b FROM bg0),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+    bt AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bc GROUP BY doc_id),
+    o AS (
+      SELECT ws.doc_id, n_words,
+             round(CAST(1.0 AS DOUBLE)
+                   - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+               AS dup_word_frac,
+             round(COALESCE(CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE),
+                            CAST(0.0 AS DOUBLE)), 6) AS top_bigram_frac
+      FROM ws LEFT JOIN bt ON ws.doc_id = bt.doc_id
+    )
+    SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
+           (dup_word_frac <= 0.80 AND top_bigram_frac <= 0.18) AS keep
+    FROM o
+    """,
+)
+
+_q(
+    "text_pii_mask",
+    X.text_pii_mask,
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS d
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(regexp_extract_all(d,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(d,
+                 '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+             regexp_replace(
+               regexp_replace(d, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                              '[EMAIL]', 'g'),
+               '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS masked
+      FROM dirty
+    )
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           substr(masked, len(masked) - 39, 40) AS masked_tail
+    FROM m
+    """,
+)
+
+_q(
     "c2_dynamic_pruning",
     X.c2_dynamic_pruning,
     """
