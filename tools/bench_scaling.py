@@ -111,6 +111,26 @@ def main() -> None:
         help="after the run, assert no (round, host) exceeded its per-host "
         "budget (the skew leg's invariant check)",
     )
+    ap.add_argument(
+        "--transport",
+        choices=("synthetic", "http"),
+        default="synthetic",
+        help="http = fetch every page over a REAL wire from a local slow "
+        "origin (see --wire-delay-ms); the engine's in-partition fan-out is "
+        "what keeps throughput above cores/delay",
+    )
+    ap.add_argument(
+        "--wire-delay-ms",
+        type=float,
+        default=50.0,
+        help="per-request latency of the local origin for --transport http",
+    )
+    ap.add_argument(
+        "--fetch-concurrency",
+        type=int,
+        default=10,
+        help="in-partition fan-out width for --transport http",
+    )
     args = ap.parse_args()
     # must be set before the session so python workers inherit it
     os.environ["CRAWL_FETCH_WORK_MS"] = str(args.fetch_work_ms)
@@ -130,6 +150,17 @@ def main() -> None:
         extra_conf={"spark.local.dir": local_dir},
     )
     store = tempfile.mkdtemp(prefix=f"scalestore{args.cores}_", dir=shm)
+    server = None
+    transport = None
+    if args.transport == "http":
+        from deepcrawl4ai_spark.frontier.httpserver import SyntheticWebServer
+
+        server = SyntheticWebServer(delay_s=args.wire_delay_ms / 1000.0).start()
+        transport = {
+            "kind": "http",
+            "base": server.base,
+            "concurrency": args.fetch_concurrency,
+        }
     try:
         eng = CrawlEngine(
             spark,
@@ -140,6 +171,7 @@ def main() -> None:
                 max_depth=6,
                 budget_scale=args.budget_scale,
                 record_order=False,
+                transport=transport,
             ),
         )
         t_seed = time.time()
@@ -155,6 +187,7 @@ def main() -> None:
         out = {
             "cores": args.cores,
             "skew_hot": args.skew_hot,
+            "transport": args.transport,
             "frontier_urls": args.frontier,
             "rounds": len(metrics),
             "urls_popped": popped,
@@ -215,6 +248,14 @@ def main() -> None:
                     "fetched": hot["n"],
                     "budget": hot["budget"],
                 }
+        if server is not None:
+            # wire-level exactly-once audit at bench scale: every popped URL
+            # hit the origin exactly once (no optimistic double fetch, no
+            # retry double-GET)
+            out["wire_requests"] = server.n_requests
+            out["wire_exactly_once"] = server.n_requests == popped
+            out["wire_delay_ms"] = args.wire_delay_ms
+            out["fetch_concurrency"] = args.fetch_concurrency
         print(json.dumps(out))
         if args.out:
             with open(args.out, "w") as f:
@@ -222,6 +263,8 @@ def main() -> None:
     finally:
         shutil.rmtree(store, ignore_errors=True)
         spark.stop()
+        if server is not None:
+            server.stop()
         shutil.rmtree(local_dir, ignore_errors=True)
 
 
