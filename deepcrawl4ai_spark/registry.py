@@ -497,8 +497,8 @@ _q(
     ),
     bands AS (
       SELECT doc_id, simhash, b AS band,
-             CAST((simhash >> (4 * b)) % 16 AS INT) AS bucket
-      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b)
+             CAST((simhash >> (8 * b)) % 256 AS INT) AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
