@@ -38,6 +38,26 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 self._reply(200, render_robots_txt(row).encode())
             return
+        if parsed.path == "/extract":
+            # C4 external-model endpoint analog (reference tasks.py:173-210
+            # calls a hosted LLM per chunk): deterministic fake extraction —
+            # the same stub function the in-process path uses — served over
+            # a real wire so the pluggable-extractor seam (pooled client,
+            # per-chunk calls, field-wise merge) is exercised end to end.
+            import json as _json
+
+            from deepcrawl4ai_spark.multimodal.media import stub_extract_chunk
+
+            q = urllib.parse.parse_qs(parsed.query)
+            doc_id = q.get("doc_id", [""])[0]
+            fields = [f for f in q.get("fields", [""])[0].split(",") if f]
+            ci = int(q.get("ci", ["0"])[0])
+            chunk64 = q.get("chunk", [""])[0]
+            with self.server.lock:
+                self.server.n_extracts += 1
+            out = stub_extract_chunk(doc_id, fields, ci, chunk64)
+            self._reply(200, _json.dumps(out).encode(), "application/json")
+            return
         if parsed.path != "/page":
             self._reply(404, b"not found")
             return
@@ -79,6 +99,7 @@ class SyntheticWebServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 0, delay_s: float = 0.0):
         self._srv = ThreadingHTTPServer((host, port), _Handler)
         self._srv.n_requests = 0
+        self._srv.n_extracts = 0
         self._srv.delay_s = delay_s
         self._srv.lock = threading.Lock()
         self._thread = threading.Thread(
@@ -94,6 +115,11 @@ class SyntheticWebServer:
     def n_requests(self) -> int:
         with self._srv.lock:
             return self._srv.n_requests
+
+    @property
+    def n_extracts(self) -> int:
+        with self._srv.lock:
+            return self._srv.n_extracts
 
     def start(self) -> "SyntheticWebServer":
         self._thread.start()

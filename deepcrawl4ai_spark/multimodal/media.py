@@ -287,6 +287,41 @@ def stub_extract_chunk(doc_id: str, field_names: list[str], ci: int, chunk: str)
     return out
 
 
+def make_http_extractor(base: str):
+    """The C4 extractor seam over a REAL wire: returns a per-chunk callable
+    that GETs the model endpoint (`/extract` on the synthetic web server —
+    a hosted-LLM stand-in; reference tasks.py:173-210 calls OpenAI per
+    chunk) through the executor-local pooled keep-alive client
+    (fetcher.get_session), exactly as a production OpenAI-backed extractor
+    would. The callable is cloudpickled into the mapInPandas UDF; sessions
+    are per worker process and reused across chunks/batches. Only the first
+    64 chunk chars travel — the stub hashes exactly that prefix."""
+    import json as _json
+    import urllib.parse
+
+    from deepcrawl4ai_spark.frontier.fetcher import _pooled_get, get_session
+
+    parts = urllib.parse.urlsplit(base)
+    hostn, port = parts.hostname, parts.port or 80
+
+    def _extract_chunk(doc_id: str, field_names: list[str], ci: int, chunk: str) -> dict:
+        sess = get_session(f"http:{base}")
+        q = urllib.parse.urlencode(
+            {
+                "doc_id": doc_id,
+                "fields": ",".join(field_names),
+                "ci": ci,
+                "chunk": chunk[:64],
+            }
+        )
+        status, body = _pooled_get(sess, hostn, port, "/extract?" + q)
+        if status != 200:
+            raise RuntimeError(f"extract endpoint returned {status}")
+        return _json.loads(body.decode())
+
+    return _extract_chunk
+
+
 def extract_structured(docs: DataFrame, field_names: list[str],
                        chunk_chars: int = 1200, overlap: float = 0.1,
                        extractor=stub_extract_chunk) -> DataFrame:

@@ -321,3 +321,34 @@ def test_engine_with_robots_df_wire_parity(spark, tmp_path_factory, webserver):
     m_ref = eng_s.run(WG.gen_seeds(N_SEEDS))
     assert [m["crawl_order"] for m in m_wire] == [m["crawl_order"] for m in m_ref]
     assert [m["urls_popped"] for m in m_wire] == [m["urls_popped"] for m in m_ref]
+
+
+def test_c4_extraction_over_the_wire(spark, webserver):
+    """C4's pluggable extractor seam driven over a REAL wire: the per-chunk
+    model call goes to an HTTP endpoint through the pooled client, and the
+    merged extraction equals the in-process stub byte-for-byte — plus the
+    endpoint was hit exactly once per (doc, chunk)."""
+    from deepcrawl4ai_spark.multimodal.media import (
+        extract_structured,
+        make_http_extractor,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", ("word%d " % i) * 400) for i in range(12)],
+        "doc_id string, text string",
+    )
+    fields = ["title", "price"]
+    local = {
+        r["doc_id"]: (r["extracted"], r["n_chunks"])
+        for r in extract_structured(docs, fields).collect()
+    }
+    before = webserver.n_extracts
+    wire = {
+        r["doc_id"]: (r["extracted"], r["n_chunks"])
+        for r in extract_structured(
+            docs, fields, extractor=make_http_extractor(webserver.base)
+        ).collect()
+    }
+    assert wire == local and len(wire) == 12
+    total_chunks = sum(n for _, n in local.values())
+    assert webserver.n_extracts - before == total_chunks  # one call per chunk
