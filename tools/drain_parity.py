@@ -40,6 +40,13 @@ def main() -> int:
     ap.add_argument("--budget", type=int, default=2000)
     ap.add_argument("--max-depth", type=int, default=12)
     ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument(
+        "--transport",
+        choices=("synthetic", "http"),
+        default="synthetic",
+        help="http = every page of the 25-round drain fetched over a real "
+        "wire (local origin); the engine must STILL equal the simulator",
+    )
     args = ap.parse_args()
 
     from deepcrawl4ai_spark.frontier import webgraph as WG
@@ -57,9 +64,18 @@ def main() -> int:
 
     spark = get_spark("drain_parity", cores=args.cores)
     store = tempfile.mkdtemp(prefix="drainstore_", dir="/dev/shm")
+    server = None
+    transport = None
+    if args.transport == "http":
+        from deepcrawl4ai_spark.frontier.httpserver import SyntheticWebServer
+
+        server = SyntheticWebServer().start()
+        transport = {"kind": "http", "base": server.base}
     try:
         eng = CrawlEngine(
-            spark, store, EngineConfig(max_rounds=args.rounds, **cfg)
+            spark,
+            store,
+            EngineConfig(max_rounds=args.rounds, transport=transport, **cfg),
         )
         t0 = time.time()
         metrics = eng.run(seeds)
@@ -96,12 +112,26 @@ def main() -> int:
             "wall_sec": round(wall, 2),
             "avg_round_sec": round(wall / max(len(metrics), 1), 2),
             "cores": args.cores,
+            "transport": args.transport,
         }
+        if server is not None:
+            total_popped = sum(m["urls_popped"] for m in metrics)
+            out["wire_requests"] = server.n_requests
+            out["wire_exactly_once"] = server.n_requests == total_popped
+            if not out["wire_exactly_once"]:
+                print(
+                    f"MISMATCH wire: {server.n_requests} requests for "
+                    f"{total_popped} popped"
+                )
+                mismatches += 1
+                out["mismatches"] = mismatches
         print(json.dumps(out))
         return 1 if mismatches else 0
     finally:
         shutil.rmtree(store, ignore_errors=True)
         spark.stop()
+        if server is not None:
+            server.stop()
 
 
 if __name__ == "__main__":
