@@ -336,3 +336,69 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_phones",
         F.substring(F.col("masked"), -40, 40).alias("masked_tail"),
     )
+
+
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED downsampling (the DCLM/FineWeb-style step after
+    quality scoring: keep probability proportional to the quality signal,
+    not a hard gate): keep doc iff hash-uniform(doc_id) < clamp(score,
+    0.1, 0.9), where score is exactly text_quality_score's arithmetic.
+    Deterministic — the "random" draw is md5(doc_id)-derived, so resamples
+    are reproducible and the oracle closed-form. Output: kept docs with
+    their score and draw.
+
+    Scale shape: pure scan-side projection + filter, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_stop = F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|to|and)\b"))
+    avg_wlen = (F.col("n_chars") - (n_words - 1)) / n_words
+    score = F.round(
+        (1.0 - n_stop / n_words) * F.least(F.lit(1.0), avg_wlen / 8.0), 6
+    )
+    draw = F.round(
+        (
+            F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                              F.lit(":qs"))), 1, 8), 16, 10)
+            .cast("long")
+            % 10000
+        )
+        / 10000.0,
+        6,
+    )
+    keep_p = F.least(F.lit(0.9), F.greatest(F.lit(0.1), score))
+    return (
+        docs.select(
+            "doc_id",
+            score.alias("quality_score"),
+            draw.alias("draw"),
+            F.round(keep_p, 6).alias("keep_p"),
+        )
+        .filter(F.col("draw") < F.col("keep_p"))
+    )
+
+
+def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus SHUFFLE into training shards (the pre-training
+    data-order op: a reproducible global permutation, materialized as
+    (shard, position)): shuffle key = md5(doc_id || ':shuffle'); shard =
+    key mod 8; position = rank of the key within its shard. Same seed →
+    same order, any subset of shards reproducible independently.
+
+    Scale shape: ONE hash-partitioned window (rank within shard) — the
+    per-shard sort is bounded by shard size (corpus/8 here; thousands of
+    shards at 100 TB), never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle")))
+    keyed = docs.select(
+        "doc_id",
+        k.alias("k"),
+        (F.conv(F.substring(k, 1, 8), 16, 10).cast("long") % 8)
+        .cast("int")
+        .alias("shard"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy("k")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )

@@ -963,6 +963,53 @@ _q(
 )
 
 _q(
+    "sample_quality_weighted",
+    X.sample_quality_weighted,
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) AS n_stop
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             round((CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_words)
+                   * least(CAST(1.0 AS DOUBLE),
+                           (CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words)
+                           / 8.0), 6) AS quality_score,
+             round((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':qs'),
+                                         1, 8)) AS BIGINT) % 10000)
+                   / CAST(10000.0 AS DOUBLE), 6) AS draw
+      FROM t
+    )
+    SELECT doc_id, quality_score, draw,
+           round(least(CAST(0.9 AS DOUBLE),
+                       greatest(CAST(0.1 AS DOUBLE), quality_score)), 6) AS keep_p
+    FROM s
+    WHERE draw < least(CAST(0.9 AS DOUBLE),
+                       greatest(CAST(0.1 AS DOUBLE), quality_score))
+    """,
+)
+
+_q(
+    "shard_shuffle",
+    X.shard_shuffle,
+    """
+    WITH k AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 8
+             ORDER BY k) AS INT) AS pos
+    FROM k
+    """,
+)
+
+_q(
     "text_repetition_filter",
     X.text_repetition_filter,
     """

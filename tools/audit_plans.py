@@ -82,6 +82,10 @@ CHECKS = {
     # masking is a pure scan-side regexp projection — zero shuffles
     "text_repetition_filter": ["HashAggregate", "Batched: true", "!CartesianProduct"],
     "text_pii_mask": ["Batched: true", "!Exchange"],
+    # quality-weighted sampling is scan-side only; shard shuffle is exactly
+    # one hash-partitioned window (per-shard sort, never global)
+    "sample_quality_weighted": ["Batched: true", "!Exchange"],
+    "shard_shuffle": ["Window", "Batched: true"],
 }
 
 
