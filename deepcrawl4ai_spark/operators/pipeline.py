@@ -1,0 +1,209 @@
+"""End-to-end corpus-shaping pipeline (VERDICT r4 #1): the query a real
+100-TB pre-training user actually runs, composing the per-op stages that are
+individually verified elsewhere in the registry:
+
+    documents
+      → Gopher quality gate          (text_gopher_rules' arithmetic)
+      → repetition filter            (text_repetition_filter's stats)
+      → paragraph dedup, keep-first  (dedup_paragraphs' hashes; a doc is
+                                      dropped when it repeats a paragraph
+                                      first seen in a smaller-doc_id survivor)
+      → quality-weighted sampling    (sample_quality_weighted's draw)
+      → sequence packing             (pack_sequences' greedy 4096 budget)
+      → deterministic shard shuffle  (shard_shuffle's md5 permutation)
+
+Output: the final training-shard manifest — one row per surviving doc with
+its (pack_id, shard, pos) placement — plus per-stage survivor counts
+(n_input ≥ n_gopher ≥ n_rep ≥ n_para ≥ n_final) broadcast onto every row so
+the correctness hash verifies the whole funnel, not just the survivors.
+
+Why a single registered query: the per-op oracles can't catch cross-operator
+composition bugs (schema drift between stages, a stage reading pre-filter
+stats, population-dependent steps like keep-first computed on the wrong
+population). The DuckDB oracle chains the same CTEs closed-form.
+
+Scale shape (audited in PLANS.md): gopher + sampling are scan-side codegen;
+repetition stats are two partial-agg groupBys on doc_id; paragraph dedup is
+ONE shuffle on the paragraph hash (never a pair space); packing is one
+window on lang; the shard permutation is one hash-partitioned window
+(per-shard sort, never global). The stage-count aggregate is a broadcast
+cross join of a 1-row frame. No all-pairs baseline op anywhere in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from deepcrawl4ai_spark.sources.tables import load_table
+
+PACK_BUDGET = 4096
+N_SHARDS = 8
+PARA_WORDS = 8
+
+
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w)
+
+    # --- stage 1: Gopher gate (per-doc, scan-side — text_gopher_rules) ---
+    mean_wlen = (F.col("n_chars") - (n_words - 1)) / n_words
+    n_stop_g = F.regexp_count(F.col("text"), F.lit(r"\b(data|key|row|table|query)\b"))
+    n_symbol = F.regexp_count(F.col("text"), F.lit(r"[#@…]"))
+    gopher_ok = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_wlen >= 3.0)
+        & (mean_wlen <= 10.0)
+        & (n_symbol / n_words <= 0.1)
+        & (n_stop_g >= 2)
+    )
+
+    # --- stage 4 signals (per-doc, scan-side — sample_quality_weighted);
+    # computed here so one projection carries every per-doc flag ---
+    n_stop_q = F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|to|and)\b"))
+    score = F.round(
+        (1.0 - n_stop_q / n_words) * F.least(F.lit(1.0), mean_wlen / 8.0), 6
+    )
+    draw = F.round(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":qs"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        )
+        / 10000.0,
+        6,
+    )
+    keep_p = F.least(F.lit(0.9), F.greatest(F.lit(0.1), score))
+    sample_ok = draw < keep_p
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        w.alias("w"),
+        n_words.cast("long").alias("n_tokens"),
+        gopher_ok.alias("gopher_ok"),
+        sample_ok.alias("sample_ok"),
+    )
+
+    # --- stage 2: repetition filter (text_repetition_filter's stats —
+    # per-doc independent, so computed over all docs and ANDed in) ---
+    words = base.select("doc_id", F.explode("w").alias("word"))
+    word_stats = words.groupBy("doc_id").agg(
+        F.count("*").alias("n_w"), F.count_distinct("word").alias("n_d")
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1]),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    bg_top = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    rep = word_stats.join(bg_top, "doc_id", "left").select(
+        "doc_id",
+        (
+            (F.round(1.0 - F.col("n_d") / F.col("n_w"), 6) <= 0.80)
+            & (
+                F.round(F.coalesce(F.col("top_bg") / F.col("n_bg"), F.lit(0.0)), 6)
+                <= 0.18
+            )
+        ).alias("rep_ok"),
+    )
+    d2 = base.join(rep, "doc_id")
+    s12 = F.col("gopher_ok") & F.col("rep_ok")
+
+    # --- stage 3: paragraph dedup, keep-first, computed on the POPULATION
+    # surviving stages 1-2 (dedup_paragraphs' 8-word windows; the keeper for
+    # a duplicated paragraph is the smallest surviving doc_id) ---
+    paras = F.when(
+        F.size("w") >= PARA_WORDS,
+        F.transform(
+            F.sequence(F.lit(0), (F.size("w") / PARA_WORDS).cast("int") - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("w"), i * PARA_WORDS + 1, PARA_WORDS)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = (
+        d2.filter(s12)
+        .select("doc_id", F.explode(paras).alias("para"))
+        .select("doc_id", F.md5("para").alias("ph"))
+    )
+    firsts = exploded.groupBy("ph").agg(
+        F.min("doc_id").alias("keeper"), F.count_distinct("doc_id").alias("nd")
+    )
+    drops = (
+        exploded.join(firsts.filter(F.col("nd") >= 2), "ph")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_para_dup", F.lit(True))
+    )
+    flags = d2.join(drops, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "gopher_ok",
+        "rep_ok",
+        (s12 & F.col("_para_dup").isNull()).alias("para_sv"),
+        "sample_ok",
+    )
+    final_ok = F.col("para_sv") & F.col("sample_ok")
+
+    # --- funnel counts (1-row agg, broadcast onto the manifest) ---
+    counts = flags.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("gopher_ok").cast("long")).alias("n_gopher"),
+        F.sum((F.col("gopher_ok") & F.col("rep_ok")).cast("long")).alias("n_rep"),
+        F.sum(F.col("para_sv").cast("long")).alias("n_para"),
+        F.sum(final_ok.cast("long")).alias("n_final"),
+    )
+
+    # --- stage 5: greedy packing over survivors (pack_sequences) ---
+    survivors = flags.filter(final_ok).select("doc_id", "lang", "n_tokens")
+    wp = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(wp)
+    packed = survivors.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / PACK_BUDGET).cast("int").alias("pack_id"),
+    )
+
+    # --- stage 6: deterministic shard shuffle (shard_shuffle) ---
+    k = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle")))
+    keyed = packed.withColumn("k", k).withColumn(
+        "shard",
+        (F.conv(F.substring("k", 1, 8), 16, 10).cast("long") % N_SHARDS).cast("int"),
+    )
+    ws = W.partitionBy("shard").orderBy("k")
+    manifest = keyed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "pack_id",
+        "shard",
+        F.row_number().over(ws).alias("pos"),
+    )
+    return manifest.crossJoin(F.broadcast(counts))

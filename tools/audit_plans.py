@@ -86,6 +86,18 @@ CHECKS = {
     # one hash-partitioned window (per-shard sort, never global)
     "sample_quality_weighted": ["Batched: true", "!Exchange"],
     "shard_shuffle": ["Window", "Batched: true"],
+    # round-5: the end-to-end corpus funnel must stay shuffle-bounded — every
+    # join broadcast or doc_id/ph-keyed, both windows hash-partitioned, the
+    # only cross join the 1-row funnel-counts broadcast, and NO pair space
+    # (no baseline op in the path)
+    "corpus_pipeline": [
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "Window",
+        "BroadcastNestedLoopJoin Cross",
+        "!CartesianProduct",
+        "!SortMergeJoin",
+    ],
 }
 
 
