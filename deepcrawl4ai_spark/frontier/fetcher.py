@@ -20,7 +20,12 @@ partition, so wall time per partition is ~len(batch)/concurrency × RTT
 instead of len(batch) × RTT. Output rows stay in INPUT ORDER
 (executor.map), so crawl-order/replay parity is byte-identical to the
 sequential path. The pool is per python worker process; with C workers per
-executor the executor-wide cap is C × CRAWL_FETCH_CONCURRENCY.
+executor the executor-wide cap is C × CRAWL_FETCH_CONCURRENCY. The robots
+cache fill (fetch_robots_df) fans out through the same pool. An optional
+PER-HOST in-flight cap (CRAWL_FETCH_HOST_CONCURRENCY /
+transport["per_host_concurrency"]) additionally bounds instantaneous
+per-host concurrency — see _FETCH_PER_HOST for the politeness model's
+default-off rationale.
 
 The transport dict travels by closure into the UDF (cloudpickle), so tests
 can point at an ephemeral-port server created AFTER the SparkSession; env
@@ -73,6 +78,31 @@ _ITERS_PER_MS = 2500
 # per-worker in-partition fan-out width for the http transport (the
 # reference's per-worker session permit, actions.py:254). 1 = sequential.
 _FETCH_CONCURRENCY = int(_os.environ.get("CRAWL_FETCH_CONCURRENCY", "10"))
+
+# OPTIONAL per-host in-flight cap inside one worker's fan-out (ADVICE r4).
+# The politeness model's volume bound is the per-host token budget; this
+# bounds INSTANTANEOUS concurrency too. 0 (default) = off: with C python
+# workers per executor a host can see up to C × _FETCH_CONCURRENCY
+# simultaneous requests — acceptable for the synthetic origin, set this (or
+# transport["per_host_concurrency"]) when crawling real sites. The cap is
+# per PROCESS; executor-wide a host sees ≤ C × cap in-flight.
+_FETCH_PER_HOST = int(_os.environ.get("CRAWL_FETCH_HOST_CONCURRENCY", "0"))
+
+# fixed semaphore-slot table (host-hash → slot) so per-host gating stays
+# O(1) memory at 10^7 hosts; a collision only makes the gate stricter
+_HOST_SEM_SLOTS = 4096
+_HOST_SEMS: dict[int, tuple[int, object]] = {}
+_HOST_SEM_LOCK = _threading.Lock()
+
+
+def _host_semaphore(host: str, width: int):
+    slot = hash(host) % _HOST_SEM_SLOTS
+    with _HOST_SEM_LOCK:
+        cur = _HOST_SEMS.get(slot)
+        if cur is None or cur[0] != width:
+            cur = (width, _threading.Semaphore(width))
+            _HOST_SEMS[slot] = cur
+        return cur[1]
 
 
 # --- executor-local session pool (F7) ----------------------------------------
@@ -247,6 +277,13 @@ def transport_concurrency(transport: dict) -> int:
     return max(1, int(transport.get("concurrency", _FETCH_CONCURRENCY)))
 
 
+def transport_per_host(transport: dict) -> int:
+    """Per-host in-flight cap within one worker's fan-out (0 = off)."""
+    if transport["kind"] != "http":
+        return 0
+    return max(0, int(transport.get("per_host_concurrency", _FETCH_PER_HOST)))
+
+
 def _http_get_page(transport: dict, url_norm: str, url_hash: str):
     """GET one page over the session's pooled keep-alive connections; parse
     the HTML wire format back into a Page. Non-200 → failed page (the
@@ -300,15 +337,19 @@ def make_fetch_map(transport: dict | None = None):
         get_session("default")  # session reuse across batches within the worker
         work_iters = int(_FETCH_WORK_MS * _ITERS_PER_MS)
         conc = transport_concurrency(transport)
+        per_host = transport_per_host(transport)
 
         def _task(pair):
-            u, uh = pair
+            u, uh, host = pair
             if work_iters:
                 _hashlib.pbkdf2_hmac("sha256", u.encode(), b"fetchwork", work_iters)
+            if per_host:
+                with _host_semaphore(host, per_host):
+                    return _fetch_one(transport, u, uh)
             return _fetch_one(transport, u, uh)
 
         for pdf in batches:
-            pairs = list(zip(pdf["url_norm"], pdf["url_hash"]))
+            pairs = list(zip(pdf["url_norm"], pdf["url_hash"], pdf["host"]))
             if conc > 1 and len(pairs) > 1:
                 # bounded in-partition fan-out; executor.map preserves input
                 # order, so the output rows (and thus crawl order/replay) are
@@ -465,15 +506,26 @@ def fetch_robots_df(hosts_df: DataFrame, transport: dict,
         )
 
         sess = get_session(f"http:{base}")
+        conc = transport_concurrency(transport)
+
+        def _one(h: str) -> dict:
+            path = "/robots.txt?h=" + urllib.parse.quote(h, safe="")
+            status, body = _pooled_get(sess, hostn, port, path)
+            # 404 = no robots → empty rules (allow all)
+            p = parse_robots_txt(body.decode() if status == 200 else "")
+            p["host"] = h
+            return p
+
         for pdf in batches:
-            parsed = []
-            for h in pdf["host"]:
-                path = "/robots.txt?h=" + urllib.parse.quote(h, safe="")
-                status, body = _pooled_get(sess, hostn, port, path)
-                # 404 = no robots → empty rules (allow all)
-                p = parse_robots_txt(body.decode() if status == 200 else "")
-                p["host"] = h
-                parsed.append(p)
+            hostlist = list(pdf["host"])
+            if conc > 1 and len(hostlist) > 1:
+                # same bounded in-partition fan-out as fetch_map (VERDICT r4
+                # #3; reference fans ALL fetch kinds through one dispatcher,
+                # actions.py:252-254) — executor.map preserves host order so
+                # the output rows are byte-identical to the sequential path
+                parsed = list(_fetch_executor(conc).map(_one, hostlist))
+            else:
+                parsed = [_one(h) for h in hostlist]
             rows = to_engine_rows(parsed, budget_base)
             yield pd.DataFrame(
                 {

@@ -31,6 +31,10 @@ class _Handler(BaseHTTPRequestHandler):
             # as real robots.txt text, parsed back by functions/robots.py
             from deepcrawl4ai_spark.functions.robots import render_robots_txt
 
+            if self.server.robots_delay_s:
+                import time
+
+                time.sleep(self.server.robots_delay_s)
             h = urllib.parse.parse_qs(parsed.query).get("h", [""])[0]
             row = next((r for r in WG.robots_rows() if r["host"] == h), None)
             if row is None:
@@ -55,7 +59,21 @@ class _Handler(BaseHTTPRequestHandler):
             chunk64 = q.get("chunk", [""])[0]
             with self.server.lock:
                 self.server.n_extracts += 1
-            out = stub_extract_chunk(doc_id, fields, ci, chunk64)
+                self.server.extract_active += 1
+                self.server.extract_max_active = max(
+                    self.server.extract_max_active, self.server.extract_active
+                )
+            try:
+                if self.server.extract_delay_s:
+                    # slow-model mode: proves the client's per-chunk fan-out
+                    # overlaps model-call latency (VERDICT r4 #5)
+                    import time
+
+                    time.sleep(self.server.extract_delay_s)
+                out = stub_extract_chunk(doc_id, fields, ci, chunk64)
+            finally:
+                with self.server.lock:
+                    self.server.extract_active -= 1
             self._reply(200, _json.dumps(out).encode(), "application/json")
             return
         if parsed.path != "/page":
@@ -96,11 +114,16 @@ class SyntheticWebServer:
     ``n_requests`` counts /page hits — the wire-level fetch audit.
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0, delay_s: float = 0.0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, delay_s: float = 0.0,
+                 robots_delay_s: float = 0.0, extract_delay_s: float = 0.0):
         self._srv = ThreadingHTTPServer((host, port), _Handler)
         self._srv.n_requests = 0
         self._srv.n_extracts = 0
+        self._srv.extract_active = 0
+        self._srv.extract_max_active = 0
         self._srv.delay_s = delay_s
+        self._srv.robots_delay_s = robots_delay_s
+        self._srv.extract_delay_s = extract_delay_s
         self._srv.lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._srv.serve_forever, name="synthetic-web", daemon=True
@@ -120,6 +143,11 @@ class SyntheticWebServer:
     def n_extracts(self) -> int:
         with self._srv.lock:
             return self._srv.n_extracts
+
+    @property
+    def extract_max_active(self) -> int:
+        with self._srv.lock:
+            return self._srv.extract_max_active
 
     def start(self) -> "SyntheticWebServer":
         self._thread.start()

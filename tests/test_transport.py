@@ -352,3 +352,122 @@ def test_c4_extraction_over_the_wire(spark, webserver):
     assert wire == local and len(wire) == 12
     total_chunks = sum(n for _, n in local.values())
     assert webserver.n_extracts - before == total_chunks  # one call per chunk
+
+
+def test_c4_concurrent_chunk_extraction(spark):
+    """VERDICT r4 #5: chunk extraction fans out over the bounded pool. With
+    a 100 ms/model-call endpoint and ~23 chunks per doc, concurrency=8 must
+    (a) produce byte-equal merged output to the sequential wire path, (b)
+    hit the endpoint exactly once per chunk, (c) actually overlap — the
+    server-observed max in-flight ≥ 4 and wall well under the sequential
+    bound."""
+    import time
+
+    from deepcrawl4ai_spark.multimodal.media import (
+        extract_structured,
+        make_http_extractor,
+    )
+
+    docs = spark.createDataFrame(
+        [("dbig", "tok%d " % 7 * 4000)], "doc_id string, text string"
+    )
+    fields = ["title", "price"]
+    with SyntheticWebServer(extract_delay_s=0.1) as srv:
+        seq = extract_structured(
+            docs, fields, extractor=make_http_extractor(srv.base)
+        ).collect()
+        n_chunks = seq[0]["n_chunks"]
+        assert n_chunks >= 16
+        before = srv.n_extracts
+        t0 = time.time()
+        conc = extract_structured(
+            docs, fields, extractor=make_http_extractor(srv.base), concurrency=8
+        ).collect()
+        wall = time.time() - t0
+        assert srv.n_extracts - before == n_chunks  # exactly once per chunk
+        assert srv.extract_max_active >= 4, srv.extract_max_active
+    assert conc[0]["extracted"] == seq[0]["extracted"]  # byte-equal merge
+    assert conc[0]["n_chunks"] == n_chunks
+    # sequential lower bound is n_chunks × 0.1 s; 8-way overlap cuts it ~8×
+    assert wall < n_chunks * 0.1 * 0.55, f"{wall:.2f}s for {n_chunks} chunks"
+
+
+def test_robots_fill_fanout(spark):
+    """VERDICT r4 #3: the robots-cache fill fans out through the same
+    bounded pool as the page fetch. 48 hosts through ONE partition against
+    a 50 ms origin: width 10 must be ≥3× faster than sequential and produce
+    byte-identical dim rows."""
+    import time
+
+    from deepcrawl4ai_spark.frontier import fetcher as FE
+
+    hosts = WG.hosts()[:48]
+    hdf = spark.createDataFrame([(h,) for h in hosts], "host string").repartition(1)
+
+    def run(conc):
+        FE.pool_reset()
+        t0 = time.time()
+        rows = sorted(
+            (r.asDict(recursive=True) for r in FE.fetch_robots_df(hdf, t).collect()),
+            key=lambda r: r["host"],
+        )
+        return rows, time.time() - t0
+
+    with SyntheticWebServer(robots_delay_s=0.05) as srv:
+        t = {"kind": "http", "base": srv.base, "concurrency": 1}
+        rows_seq, wall_seq = run(1)
+        t = {"kind": "http", "base": srv.base, "concurrency": 10}
+        rows_fan, wall_fan = run(10)
+    assert rows_fan == rows_seq and len(rows_fan) == len(hosts)
+    assert wall_seq / wall_fan >= 3.0, f"{wall_seq:.2f}s vs {wall_fan:.2f}s"
+    FE.pool_reset()
+
+
+def test_per_host_concurrency_cap():
+    """ADVICE r4: transport["per_host_concurrency"] bounds a worker's
+    instantaneous per-host in-flight requests. 12 same-host URLs, width 10,
+    cap 2, 100 ms origin: wall must sit near the 12/2 × 0.1 s serialized
+    bound (≥ 0.5 s), far above the uncapped ~0.2 s — and results stay
+    byte-equal with exactly-once wire audit."""
+    import time
+
+    import pandas as pd
+
+    from deepcrawl4ai_spark.frontier import fetcher as FE
+
+    urls = [WG.page_url(0, j) for j in range(12)]
+    pdf = pd.DataFrame(
+        {
+            "url_norm": urls,
+            "url_hash": [WG.sha1_hex(u) for u in urls],
+            "host": [u.split("://")[1].split("/")[0] for u in urls],
+            "depth": [0] * len(urls),
+            "score": [0.0] * len(urls),
+            "attempt": [0] * len(urls),
+        }
+    )
+
+    def run(per_host):
+        FE.pool_reset()
+        with SyntheticWebServer(delay_s=0.1) as srv:
+            fmap = FE.make_fetch_map(
+                {
+                    "kind": "http",
+                    "base": srv.base,
+                    "concurrency": 10,
+                    "per_host_concurrency": per_host,
+                }
+            )
+            t0 = time.time()
+            out = pd.concat(list(fmap(iter([pdf]))), ignore_index=True)
+            wall = time.time() - t0
+            assert srv.n_requests == len(urls)
+        return out, wall
+
+    out_free, wall_free = run(0)
+    out_cap, wall_cap = run(2)
+    assert list(out_cap["url_norm"]) == urls
+    assert [list(s) for s in out_cap["spans"]] == [list(s) for s in out_free["spans"]]
+    assert wall_cap >= 0.5, f"cap not enforced: {wall_cap:.2f}s"
+    assert wall_free < 0.45, f"uncapped path regressed: {wall_free:.2f}s"
+    FE.pool_reset()
