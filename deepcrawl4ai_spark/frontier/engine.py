@@ -64,6 +64,9 @@ FRONTIER_COLS = (
 )
 
 
+from deepcrawl4ai_spark.frontier import DEFAULT_HOST_MAX_TOKENS
+
+
 @dataclass
 class EngineConfig:
     global_budget: int = 200
@@ -538,9 +541,12 @@ class CrawlEngine:
             eff = None
             budgets = self.robots_df.select("host", "max_tokens")
         # fallback for hosts with no robots row scales like every other
-        # budget (the simulator uses 2 * budget_scale, simulator.py:114)
+        # budget (the simulator applies the same DEFAULT_HOST_MAX_TOKENS)
         cand = cand.join(F.broadcast(budgets), "host", "left").withColumn(
-            "budget", F.coalesce(F.col("max_tokens"), F.lit(2 * cfg.budget_scale))
+            "budget",
+            F.coalesce(
+                F.col("max_tokens"), F.lit(DEFAULT_HOST_MAX_TOKENS * cfg.budget_scale)
+            ),
         )
 
         # per-host exact top-budget in ONE window pass. The literal rank bound

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from deepcrawl4ai_spark.frontier import webgraph as WG
+from deepcrawl4ai_spark.frontier import DEFAULT_HOST_MAX_TOKENS, webgraph as WG
 
 
 @dataclass
@@ -124,7 +124,10 @@ def simulate(seed_urls: list[str], cfg: SimConfig | None = None) -> SimResult:
                 budget = avail[host]
             else:
                 budget = (
-                    robots.get(host, {"max_tokens": 2})["max_tokens"] * cfg.budget_scale
+                    robots.get(host, {"max_tokens": DEFAULT_HOST_MAX_TOKENS})[
+                        "max_tokens"
+                    ]
+                    * cfg.budget_scale
                 )
             picked.extend(entries[:budget])
         # global budget — canonical total order; R1/X1 controller shrinks the

@@ -366,12 +366,17 @@ def a9_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB twin of a9_value_percentiles (VERDICT r3 #7): the panel is
     computed with `approx_percentile` (t-digest-style sketch — bounded memory
     per group, map-side partial aggregation, no full per-group sort), then
-    VERIFIED in-query against a ±1%-RANK band from the exact percentiles:
-    approx_ok is true iff each sketch value lies within [percentile(p-.01),
-    percentile(p+.01)]. The oracle emits the exact panel with a literal TRUE,
-    so the hash gate fails if the sketch ever drifts outside the band — a
-    tolerance-based oracle, not a bitwise one. Accuracy 10000 bounds rank
-    error at n/10000 ≤ the band at these group sizes."""
+    VERIFIED in-query with a RANK check (ADVICE r4 made it robust at any
+    group size): the sketch returns an actual data point, whose rank range
+    in the group is [count(<x)+1, count(<=x)]; approx_ok is true iff that
+    range touches the target rank band p·(n−1)+1 ± (0.01·n + 1) — a ±1%-rank
+    tolerance padded by one rank so tiny groups (where the nearest data
+    point can sit outside an interpolated band) still verify correctly.
+    The oracle emits the exact panel with a literal TRUE, so the hash gate
+    fails if the sketch ever drifts outside the band. Accuracy 10000 bounds
+    sketch rank error at n/10000 ≪ the band. Plan shape: two groupBys on
+    event_type plus one broadcast join of the few-row panel — bounded
+    memory, no per-group sort."""
     events = load_table(spark, sf_dir, "events")
     panel = events.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
@@ -381,15 +386,29 @@ def a9_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "approx_percentile(value, array(0.5D, 0.95D, 0.99D), 10000)"
         ).alias("_ap"),
-        F.expr("percentile(value, array(0.49D, 0.94D, 0.98D))").alias("_lo"),
-        F.expr("percentile(value, array(0.51D, 0.96D, 1.0D))").alias("_hi"),
     )
+    j = events.join(F.broadcast(panel.select("event_type", "_ap")), "event_type")
+    ranks = j.groupBy("event_type").agg(
+        *[
+            F.sum((F.col("value") < F.col("_ap")[k]).cast("long")).alias(f"_lt{k}")
+            for k in range(3)
+        ],
+        *[
+            F.sum((F.col("value") <= F.col("_ap")[k]).cast("long")).alias(f"_le{k}")
+            for k in range(3)
+        ],
+    )
+    out = panel.join(ranks, "event_type")
     ok = F.lit(True)
-    for k in range(3):
-        ok = ok & (F.col("_ap")[k] >= F.col("_lo")[k]) & (
-            F.col("_ap")[k] <= F.col("_hi")[k]
+    for k, p in enumerate((0.5, 0.95, 0.99)):
+        target = F.lit(p) * (F.col("n") - 1) + 1  # interpolated rank position
+        pad = F.lit(0.01) * F.col("n") + 1
+        ok = (
+            ok
+            & (F.col(f"_le{k}") >= target - pad)
+            & (F.col(f"_lt{k}") + 1 <= target + pad)
         )
-    return panel.select("event_type", "p50", "p95", "p99", "n", ok.alias("approx_ok"))
+    return out.select("event_type", "p50", "p95", "p99", "n", ok.alias("approx_ok"))
 
 
 def a8_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:

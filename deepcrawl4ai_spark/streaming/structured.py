@@ -67,7 +67,9 @@ def run_streaming_crawl(
     cfg,
     seed_urls: list[str] | None = None,
     robots_rows: list[dict] | None = None,
+    robots_df: DataFrame | None = None,
     timeout_s: float = 600.0,
+    stop_after_rounds: int | None = None,
 ) -> list[dict]:
     """T1 under the STREAMING RUNTIME (VERDICT r3 #6): drive the frontier
     loop from a Structured-Streaming query — a rate source ticks micro-
@@ -81,18 +83,33 @@ def run_streaming_crawl(
 
     The rate-source rows themselves are ignored — the tick is a scheduler,
     not data (the reference's worker loop wakes on queue signal the same
-    way, crawl.py:189-214). Returns the per-round metrics list."""
+    way, crawl.py:189-214). Returns the per-round metrics list.
+
+    ``robots_df`` passes the distributed robots dim straight through to the
+    engine (ADVICE r4: parity with the batch constructor — the
+    fetch_robots_df path works under the streaming driver too).
+    ``stop_after_rounds`` stops the query from the monitor thread once that
+    many rounds have committed — a bounded drain; a later call with no
+    seeds resumes from the checkpoint exactly like a killed batch run."""
     import time
 
     from deepcrawl4ai_spark.frontier.engine import CrawlEngine
 
-    eng = CrawlEngine(spark, store_root, cfg, robots_rows=robots_rows)
+    eng = CrawlEngine(
+        spark, store_root, cfg, robots_rows=robots_rows, robots_df=robots_df
+    )
     gen = eng.round_iter(seed_urls)
     out: list[dict] = []
     state = {"done": False, "err": None}
 
     def _one_round(df, batch_id):  # noqa: ARG001 — tick only, data unused
         if state["done"]:
+            return
+        if stop_after_rounds is not None and len(out) >= stop_after_rounds:
+            # bounded drain: the limit is checked at the batch BOUNDARY, so
+            # the stop never interrupts an engine round mid-commit — the
+            # store is left exactly as a post-round kill would leave it
+            state["done"] = True
             return
         try:
             out.append(next(gen))

@@ -519,3 +519,104 @@ def test_streaming_round_loop_drain_parity(spark, tmp_path_factory):
         assert a["crawl_order"] == b["crawl_order"]
         for k in keys:
             assert a[k] == b[k], k
+
+
+def test_streaming_crash_resume(spark, tmp_path_factory):
+    """T7 under the STREAMING runtime (VERDICT r4 #6): kill the streaming
+    query mid-drain (after >=2 rounds committed), restart run_streaming_crawl
+    with NO seeds on the same store — the drain resumes from the last
+    committed snapshot with zero re-fetches (one rounds-table row per round)
+    and the final per-round metrics equal an uninterrupted batch run."""
+    from deepcrawl4ai_spark.streaming.structured import run_streaming_crawl
+
+    rounds = 4
+    cfg = dict(
+        global_budget=60, max_depth=4, max_attempts=2, record_order=True,
+        max_rounds=rounds,
+    )
+    seeds = WG.gen_seeds(24)
+    root = str(tmp_path_factory.mktemp("streamcrash"))
+
+    m1 = run_streaming_crawl(
+        spark, root, EngineConfig(**cfg), seed_urls=seeds, stop_after_rounds=2
+    )
+    k = len(m1)
+    assert 2 <= k < rounds  # killed mid-drain, at least 2 rounds committed
+
+    m2 = run_streaming_crawl(spark, root, EngineConfig(**cfg))  # no seeds
+    assert len(m2) == rounds - k
+    assert m2[0]["round"] == k
+
+    eng_b = CrawlEngine(
+        spark, str(tmp_path_factory.mktemp("streamcrash_batch")), EngineConfig(**cfg)
+    )
+    m_batch = eng_b.run(seeds)
+    assert len(m1) + len(m2) == len(m_batch)
+    keys = (
+        "round urls_popped urls_fetched urls_failed outlinks_seen "
+        "dedup_dropped new_frontier"
+    ).split()
+    for a, b in zip(list(m1) + list(m2), m_batch):
+        assert a["crawl_order"] == b["crawl_order"]
+        for key in keys:
+            assert a[key] == b[key], key
+
+    # zero re-fetches: exactly one committed row per round, no duplicates
+    from deepcrawl4ai_spark.frontier.engine import CrawlEngine as CE
+
+    eng_r = CE(spark, root, EngineConfig(**cfg))
+    per_round = [
+        r["round"] for r in eng_r.store.read(spark, "rounds").collect()
+    ]
+    assert sorted(per_round) == list(range(rounds))
+
+    # final frontier/seen state equals the uninterrupted run
+    got = {
+        r["url_hash"]: r["state"]
+        for r in eng_r.store.read(spark, "frontier").collect()
+    }
+    want = {
+        r["url_hash"]: r["state"]
+        for r in eng_b.store.read(spark, "frontier").collect()
+    }
+    assert got == want
+
+
+def test_streaming_robots_df_passthrough(spark, tmp_path_factory):
+    """ADVICE r4: run_streaming_crawl accepts the distributed robots dim
+    (robots_df) like the batch constructor — drain metrics equal the
+    robots_rows path on the same universe."""
+    from deepcrawl4ai_spark.streaming.structured import run_streaming_crawl
+
+    cfg = dict(
+        global_budget=40, max_depth=3, max_attempts=2, record_order=True,
+        max_rounds=2,
+    )
+    seeds = WG.gen_seeds(16)
+    rows = WG.robots_rows()
+    rdf = spark.createDataFrame(
+        [
+            (
+                r["host"],
+                float(r["crawl_delay"]),
+                float(r["rps_budget"]),
+                int(r["max_tokens"]),
+                list(r["disallow_rules"]),
+            )
+            for r in rows
+        ],
+        "host string, crawl_delay double, rps_budget double, max_tokens int,"
+        " disallow_rules array<string>",
+    )
+    m_df = run_streaming_crawl(
+        spark, str(tmp_path_factory.mktemp("srdf")), EngineConfig(**cfg),
+        seed_urls=seeds, robots_df=rdf,
+    )
+    m_rows = run_streaming_crawl(
+        spark, str(tmp_path_factory.mktemp("srrows")), EngineConfig(**cfg),
+        seed_urls=seeds, robots_rows=rows,
+    )
+    assert len(m_df) == len(m_rows) > 0
+    for a, b in zip(m_df, m_rows):
+        assert a["crawl_order"] == b["crawl_order"]
+        assert a["urls_fetched"] == b["urls_fetched"]

@@ -221,6 +221,8 @@ def main() -> None:
             # the salted selection must stay EXACT under skew, not just fast
             from pyspark.sql import functions as F
 
+            from deepcrawl4ai_spark.frontier import DEFAULT_HOST_MAX_TOKENS
+
             per = (
                 eng.store.read(spark, "results")
                 .groupBy("round", "host")
@@ -228,8 +230,11 @@ def main() -> None:
                 .join(eng.robots_df.select("host", "max_tokens"), "host", "left")
                 .withColumn(
                     "budget",
+                    # fallback derived from the engine's own default (ADVICE
+                    # r4) — never a literal that can drift from engine.py
                     F.coalesce(
-                        F.col("max_tokens"), F.lit(2 * args.budget_scale)
+                        F.col("max_tokens"),
+                        F.lit(DEFAULT_HOST_MAX_TOKENS * args.budget_scale),
                     ),
                 )
             )
