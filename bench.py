@@ -53,6 +53,13 @@ EXTRAS = [
     "ann_ivf_topk",
     "decontaminate_apply",
     "a9_percentiles_approx",
+    # round-4/5 operators
+    "text_repetition_filter",
+    "text_pii_mask",
+    "sample_quality_weighted",
+    "shard_shuffle",
+    "corpus_pipeline",
+    "media_features",
 ]
 
 FRONTIER_SEEDS = 2000
@@ -71,6 +78,17 @@ def _force(df) -> int:
 
 
 def main() -> None:
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "cpu_ceiling", os.path.join(REPO, "tools", "cpu_ceiling.py")
+    )
+    _ceil = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_ceil)
+    # same-epoch hypervisor-steal snapshot BEFORE the suite (VERDICT r4 #2):
+    # run before the JVM exists so the probe owns the box
+    ceiling_before = _ceil.quick_probe()
+
     from deepcrawl4ai_spark.registry import QUERIES
     from deepcrawl4ai_spark.session import get_spark
 
@@ -125,6 +143,10 @@ def main() -> None:
         t0 = time.time()
         _force(QUERIES[name](spark, SF_DIR))
         extras[name] = round(time.time() - t0, 3)
+    spark.stop()
+    # matching snapshot AFTER the suite, once the JVM is gone — a clean epoch
+    # shows ~1.0/1.0; a steal-polluted one is visibly depressed on both ends
+    ceiling_after = _ceil.quick_probe()
     print(
         json.dumps(
             {
@@ -137,10 +159,11 @@ def main() -> None:
                 "urls_per_sec": urls_per_sec,
                 "frontier_rounds": FRONTIER_ROUNDS,
                 "cpus": CPUS,
+                "ceiling_before": ceiling_before,
+                "ceiling_after": ceiling_after,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

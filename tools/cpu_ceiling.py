@@ -31,6 +31,21 @@ def bench(procs: int, total: int = 96_000) -> float:
     return time.time() - t0
 
 
+def quick_probe(total: int = 24_000) -> dict:
+    """One fast 8-vs-32 leg (~3 s) — the same-epoch steal snapshot bench.py
+    embeds before/after its suite (VERDICT r4 #2) so a headline number can
+    be read against the hypervisor weather it was recorded in. Single run
+    per width (no min-of-2): this is a weather gauge, not the ceiling
+    protocol — use main() for the recorded scaling ceilings."""
+    t8 = bench(8, total=total)
+    t32 = bench(32, total=total)
+    return {
+        "t8_sec": round(t8, 2),
+        "t32_sec": round(t32, 2),
+        "ceiling_efficiency": round((t8 / t32) / 4, 3),
+    }
+
+
 def main() -> None:
     # warm-up
     bench(8, total=8_000)
