@@ -583,3 +583,57 @@ def label_propagation_fixpoint(
             break
     _unpersist_local_checkpoint(edges)
     return labels, iters
+
+
+def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH recall MEASURED as a registered query (r05): ground
+    truth = ALL document pairs with exact shingle-Jaccard ≥ 0.04 (the
+    verify threshold; no lang blocking, no LSH pruning — the uncompromised
+    all-pairs answer), found = dedup_minhash_verified's output. found ⊆
+    truth by construction (verification is the same exact Jaccard), so the
+    single output row is the recall fact itself: how many true near-dup
+    pairs LSH banding recovers. Turns the SCALE_BASELINES tag on
+    dedup_ngram_jaccard into standing driver-verified evidence.
+
+    Scale shape: the truth side is the tagged all-pairs baseline (this
+    query's whole point is to measure the scale twin against it at test
+    scale); the aggregates are three 1-row frames broadcast-cross-joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    sh = w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+        6,
+    )
+    truth = (
+        inter.join(sizes.alias("sa"), F.col("doc1") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc2") == F.col("sb.doc_id"))
+        .select("doc1", "doc2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.04)
+        .select("doc1", "doc2")
+    )
+    found = dedup_minhash_verified(spark, sf_dir).select("doc1", "doc2")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_found = found.agg(F.count("*").alias("n_found"))
+    n_hit = truth.join(found, ["doc1", "doc2"]).agg(F.count("*").alias("n_hit"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_found",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )

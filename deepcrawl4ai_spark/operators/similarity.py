@@ -369,3 +369,54 @@ def kmeans_fixpoint(
             break
     _unpersist_local_checkpoint(e)
     return cents, iters
+
+
+def ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF scale paths MEASURED as a registered query
+    (r05): per query, how many of the exact brute-force top-5 the probe-1
+    and probe-2 IVF searches recover. This turns the declared all-pairs
+    baseline (ann_topk_cosine, tagged in SCALE_BASELINES) into standing
+    evidence: the baseline's only production purpose — measuring the twin's
+    recall — is now itself driver-verified against a closed-form oracle.
+
+    monotone_ok is a provable invariant, not a tolerance: probe-2's
+    candidate set is a superset of probe-1's, and an exact-top-5 member can
+    only be displaced from an approximate top-5 by vectors that also rank
+    above it exactly — so hits_p2 ≥ hits_p1 always.
+
+    Scale shape: the three searches it composes are each
+    broadcast-candidate + WindowGroupLimit plans; the recall join is on
+    (qid, vec_id) over ≤ 10×5 rows — noise."""
+    exact = (
+        ann_topk_cosine(spark, sf_dir)
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id")
+    )
+    p1 = ann_ivf_topk(spark, sf_dir).select("qid", "vec_id")
+    p2 = ann_ivf_multiprobe(spark, sf_dir).select("qid", "vec_id")
+    base = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    h1 = (
+        exact.join(p1, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("h1"))
+    )
+    h2 = (
+        exact.join(p2, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("h2"))
+    )
+    hits_p1 = F.coalesce(F.col("h1"), F.lit(0))
+    hits_p2 = F.coalesce(F.col("h2"), F.lit(0))
+    return (
+        base.join(h1, "qid", "left")
+        .join(h2, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            hits_p1.alias("hits_p1"),
+            F.round(hits_p1 / F.col("n_exact"), 6).alias("recall_p1"),
+            hits_p2.alias("hits_p2"),
+            F.round(hits_p2 / F.col("n_exact"), 6).alias("recall_p2"),
+            (hits_p2 >= hits_p1).alias("monotone_ok"),
+        )
+    )

@@ -1568,6 +1568,76 @@ _q(
 )
 
 _q(
+    "ann_recall_panel",
+    S.ann_recall_panel,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0
+    ),
+    ranked AS (
+      SELECT e.vec_id, e.v, e.nrm, cents.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_DOT.format(a='e.v', b='cents.cv')} / (e.nrm * cents.cn)
+                 DESC, cents.cid ASC) AS rk
+      FROM e CROSS JOIN cents
+    ),
+    exact5 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm)
+                   DESC, c.vec_id ASC) AS rk
+        FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10
+      ) WHERE rk <= 5
+    ),
+    p1 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm)
+                   DESC, c.vec_id ASC) AS rk
+        FROM (SELECT * FROM ranked WHERE rk = 1 AND vec_id < 10) q
+        JOIN (SELECT * FROM ranked WHERE rk = 1 AND vec_id >= 10) c
+          ON q.cid = c.cid
+      ) WHERE rk <= 5
+    ),
+    p2 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm)
+                   DESC, c.vec_id ASC) AS rk
+        FROM (SELECT * FROM ranked WHERE rk <= 2 AND vec_id < 10) q
+        JOIN (SELECT * FROM ranked WHERE rk = 1 AND vec_id >= 10) c
+          ON q.cid = c.cid
+      ) WHERE rk <= 5
+    ),
+    base AS (SELECT qid, count(*) AS n_exact FROM exact5 GROUP BY qid),
+    h1 AS (
+      SELECT exact5.qid, count(*) AS h1 FROM exact5 JOIN p1 USING (qid, vec_id)
+      GROUP BY exact5.qid
+    ),
+    h2 AS (
+      SELECT exact5.qid, count(*) AS h2 FROM exact5 JOIN p2 USING (qid, vec_id)
+      GROUP BY exact5.qid
+    )
+    SELECT base.qid, n_exact,
+           COALESCE(h1, 0) AS hits_p1,
+           round(CAST(COALESCE(h1, 0) AS DOUBLE) / n_exact, 6) AS recall_p1,
+           COALESCE(h2, 0) AS hits_p2,
+           round(CAST(COALESCE(h2, 0) AS DOUBLE) / n_exact, 6) AS recall_p2,
+           COALESCE(h2, 0) >= COALESCE(h1, 0) AS monotone_ok
+    FROM base LEFT JOIN h1 ON base.qid = h1.qid LEFT JOIN h2 ON base.qid = h2.qid
+    """,
+)
+
+
+_q(
     "dedup_embedding_lsh",
     D.dedup_embedding_lsh,
     f"""
@@ -1644,6 +1714,45 @@ def _minhash_verified_sql() -> str:
 
 
 _q("dedup_minhash_verified", D.dedup_minhash_verified, _minhash_verified_sql())
+
+
+def _recall_minhash_sql() -> str:
+    found = _minhash_verified_sql()
+    return f"""
+    WITH found AS ({found}),
+    wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sht AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) >= 3
+                    THEN list_transform(generate_series(1, len(w) - 2),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    ELSE [] END) AS sh
+      FROM wt
+    ),
+    sizest AS (SELECT doc_id, count(*) AS n_sh FROM sht GROUP BY doc_id),
+    intert AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+      FROM sht a JOIN sht b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.doc1, i.doc2
+      FROM intert i
+      JOIN sizest sa ON i.doc1 = sa.doc_id
+      JOIN sizest sb ON i.doc2 = sb.doc_id
+      WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.04
+    ),
+    hit AS (SELECT count(*) AS n_hit FROM truth JOIN found USING (doc1, doc2))
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM found) AS n_found,
+           n_hit,
+           round(CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM truth), 6)
+             AS recall
+    FROM hit
+    """
+
+
+_q("dedup_recall_minhash", D.dedup_recall_minhash, _recall_minhash_sql())
 
 
 def _clusters_lp_sql() -> str:

@@ -468,6 +468,10 @@ def test_per_host_concurrency_cap():
     out_cap, wall_cap = run(2)
     assert list(out_cap["url_norm"]) == urls
     assert [list(s) for s in out_cap["spans"]] == [list(s) for s in out_free["spans"]]
+    # cap=2 serializes 12 same-host requests into ≥6 waves of 0.1 s; the
+    # uncapped bound is relative (not absolute) so a loaded box can't flake
     assert wall_cap >= 0.5, f"cap not enforced: {wall_cap:.2f}s"
-    assert wall_free < 0.45, f"uncapped path regressed: {wall_free:.2f}s"
+    assert wall_cap > wall_free * 1.4, (
+        f"cap indistinguishable from uncapped: {wall_cap:.2f}s vs {wall_free:.2f}s"
+    )
     FE.pool_reset()
