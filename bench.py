@@ -60,6 +60,9 @@ EXTRAS = [
     "shard_shuffle",
     "corpus_pipeline",
     "media_features",
+    "text_unigram_logprob",
+    "ann_recall_panel",
+    "dedup_recall_minhash",
 ]
 
 FRONTIER_SEEDS = 2000

@@ -402,3 +402,36 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "doc_id", "shard", F.row_number().over(w).alias("pos")
     )
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy (Wenzek et al. 2020, public — the
+    perplexity gate every web-corpus pipeline runs before training): score
+    each doc by its mean unigram surprisal under the CORPUS's own unigram
+    distribution — bits_per_word = avg(-log2 p(word)). Low = stereotypical
+    text, high = rare-token noise; the production gate keeps a middle band.
+    (CCNet uses a pretrained KenLM; the corpus-self unigram model is the
+    external-model-free analog with the same plan shape — a broadcast
+    vocabulary with probabilities.)
+
+    Scale shape: one groupBy(word) builds the vocab (partial-agg; real
+    vocabularies are ≤ millions of rows → broadcast), one broadcast join
+    tags each token with p(word), one groupBy(doc_id) folds the surprisal —
+    two bounded shuffles, no pair space, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    p = vocab.crossJoin(F.broadcast(total)).select(
+        "word", (F.col("cnt") / F.col("total")).alias("pw")
+    )
+    return (
+        words.join(F.broadcast(p), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.avg(-F.log2(F.col("pw"))), 6).alias("bits_per_word"),
+        )
+    )

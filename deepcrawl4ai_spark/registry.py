@@ -1754,6 +1754,25 @@ def _recall_minhash_sql() -> str:
 
 _q("dedup_recall_minhash", D.dedup_recall_minhash, _recall_minhash_sql())
 
+_q(
+    "text_unigram_logprob",
+    X.text_unigram_logprob,
+    """
+    WITH wx AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    v AS (SELECT word, count(*) AS cnt FROM wx GROUP BY word),
+    p AS (
+      SELECT word,
+             CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM v) AS pw
+      FROM v
+    )
+    SELECT doc_id, count(*) AS n_words,
+           round(avg(-log2(pw)), 6) AS bits_per_word
+    FROM wx JOIN p USING (word) GROUP BY doc_id
+    """,
+)
+
 
 def _clusters_lp_sql() -> str:
     inner = _minhash_verified_sql()

@@ -98,6 +98,15 @@ CHECKS = {
         "!CartesianProduct",
         "!SortMergeJoin",
     ],
+    # recall panel composes three broadcast+WindowGroupLimit searches; the
+    # minhash recall query's truth side is the tagged all-pairs baseline by
+    # design (it exists to measure the twin against it) — only assert the
+    # aggregates are partial-agg shaped
+    "ann_recall_panel": ["Broadcast", "WindowGroupLimit", "!CartesianProduct"],
+    "dedup_recall_minhash": ["HashAggregate"],
+    # unigram LM gate: vocab partial-agg + broadcast probability join +
+    # per-doc fold — two bounded shuffles, no window, no pair space
+    "text_unigram_logprob": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct"],
 }
 
 
