@@ -156,14 +156,22 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_para_dup", F.lit(True))
     )
-    flags = d2.join(drops, "doc_id", "left").select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        "gopher_ok",
-        "rep_ok",
-        (s12 & F.col("_para_dup").isNull()).alias("para_sv"),
-        "sample_ok",
+    flags = (
+        d2.join(drops, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "gopher_ok",
+            "rep_ok",
+            (s12 & F.col("_para_dup").isNull()).alias("para_sv"),
+            "sample_ok",
+        )
+        # both the funnel-counts agg and the manifest read this frame; at
+        # scale a real run materializes it once (checkpoint between stages)
+        # — persist is the in-query equivalent, without it Catalyst may
+        # recompute the whole funnel per branch
+        .persist()
     )
     final_ok = F.col("para_sv") & F.col("sample_ok")
 
