@@ -83,19 +83,32 @@ class _Handler(BaseHTTPRequestHandler):
         if not u:
             self._reply(400, b"missing u=<url_norm>")
             return
+        host = u.split("://", 1)[-1].split("/", 1)[0]
         with self.server.lock:
             self.server.n_requests += 1
-        if self.server.delay_s:
-            # slow-origin mode: models 1-2 s/page real-site latency so tests
-            # can prove the client's in-partition fan-out overlaps I/O waits
-            import time
+            # per-host in-flight gauge: the wire-side witness for the
+            # client's per-host concurrency cap (load-independent, unlike
+            # wall-clock ratios)
+            cur = self.server.host_active.get(host, 0) + 1
+            self.server.host_active[host] = cur
+            if cur > self.server.host_max_active.get(host, 0):
+                self.server.host_max_active[host] = cur
+        try:
+            if self.server.delay_s:
+                # slow-origin mode: models 1-2 s/page real-site latency so
+                # tests can prove the client's in-partition fan-out overlaps
+                # I/O waits
+                import time
 
-            time.sleep(self.server.delay_s)
-        page = WG.fetch_page(u)
-        if page.fetch_status != "success":
-            self._reply(503, b"synthetic upstream failure")
-            return
-        self._reply(200, render_html(page).encode(), "text/html; charset=utf-8")
+                time.sleep(self.server.delay_s)
+            page = WG.fetch_page(u)
+            if page.fetch_status != "success":
+                self._reply(503, b"synthetic upstream failure")
+                return
+            self._reply(200, render_html(page).encode(), "text/html; charset=utf-8")
+        finally:
+            with self.server.lock:
+                self.server.host_active[host] -= 1
 
     def _reply(self, status: int, body: bytes, ctype: str = "text/plain") -> None:
         self.send_response(status)
@@ -121,6 +134,8 @@ class SyntheticWebServer:
         self._srv.n_extracts = 0
         self._srv.extract_active = 0
         self._srv.extract_max_active = 0
+        self._srv.host_active = {}
+        self._srv.host_max_active = {}
         self._srv.delay_s = delay_s
         self._srv.robots_delay_s = robots_delay_s
         self._srv.extract_delay_s = extract_delay_s
@@ -148,6 +163,11 @@ class SyntheticWebServer:
     def extract_max_active(self) -> int:
         with self._srv.lock:
             return self._srv.extract_max_active
+
+    def host_max_inflight(self, host: str) -> int:
+        """Highest concurrent /page requests ever observed for *host*."""
+        with self._srv.lock:
+            return self._srv.host_max_active.get(host, 0)
 
     def start(self) -> "SyntheticWebServer":
         self._thread.start()
