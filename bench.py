@@ -63,6 +63,7 @@ EXTRAS = [
     "text_unigram_logprob",
     "ann_recall_panel",
     "dedup_recall_minhash",
+    "bpe_merges",
 ]
 
 FRONTIER_SEEDS = 2000

@@ -435,3 +435,86 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log2(F.col("pw"))), 6).alias("bits_per_word"),
         )
     )
+
+
+def _bpe_word_vocab(docs: DataFrame) -> DataFrame:
+    """Word-frequency dict with each word as a delimited symbol string:
+    'data' → '|d||a||t||a|'. The |sym| framing makes a pair merge a plain
+    substring replace ('|d||a|' → '|da|') with BPE's left-to-right
+    non-overlapping greedy semantics in BOTH engines (Java String.replace
+    and DuckDB replace behave identically)."""
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    sym = F.concat_ws(
+        "",
+        F.transform(F.split(F.col("word"), ""), lambda c: F.concat(F.lit("|"), c, F.lit("|"))),
+    )
+    return vocab.select(sym.alias("repr"), "cnt")
+
+
+def _bpe_pairs(vocab: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-symbol-pair counts from the vocab dict."""
+    syms = F.split(F.expr("substring(repr, 2, length(repr) - 2)"), r"\|\|")
+    pairs = vocab.select(
+        "cnt",
+        F.explode(
+            F.when(
+                F.size(syms) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(syms) - 2),
+                    lambda i: F.struct(
+                        syms[i].alias("a"), syms[i + 1].alias("b")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("cnt").alias("pair_cnt")
+    )
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (Sennrich et al. 2016, public — the
+    tokenizer-training step of every LLM data pipeline) in its honest
+    100-TB shape: ONE corpus-scale shuffle builds the word-frequency dict
+    (the only part that touches the data), then 8 merge iterations run on
+    the compact dict — per iteration an adjacent-pair count (partial-agg
+    over a vocab-bounded table), a deterministic arg-max (max count, then
+    lexicographic pair), and a broadcast substring-replace merge apply.
+    Output: the ordered merge table (rank, a, b, merged, pair_cnt) — the
+    artifact a tokenizer ships.
+
+    The DuckDB oracle unrolls the same 8 iterations (the pagerank/kmeans
+    oracle pattern); Java's String.replace and DuckDB's replace share
+    left-to-right non-overlapping semantics, which IS BPE's greedy merge
+    order within a word."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _bpe_word_vocab(docs).persist()
+    out = None
+    for rank in range(1, 9):
+        best = (
+            _bpe_pairs(vocab)
+            .orderBy(F.col("pair_cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .select(
+                F.lit(rank).alias("merge_rank"),
+                "a",
+                "b",
+                F.concat(F.col("a"), F.col("b")).alias("merged"),
+                "pair_cnt",
+            )
+        )
+        out = best if out is None else out.unionByName(best)
+        nxt = vocab.crossJoin(F.broadcast(best.select("a", "b"))).select(
+            F.replace(
+                F.col("repr"),
+                F.concat(F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")),
+                F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+            ).alias("repr"),
+            "cnt",
+        ).persist()
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return out

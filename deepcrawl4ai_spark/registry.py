@@ -1754,6 +1754,61 @@ def _recall_minhash_sql() -> str:
 
 _q("dedup_recall_minhash", D.dedup_recall_minhash, _recall_minhash_sql())
 
+def _bpe_sql(n_merges: int = 8) -> str:
+    """Unrolled BPE merge oracle (the pagerank/kmeans unrolled-iteration
+    pattern): v0 = word-frequency dict as |sym|-delimited reprs, then per
+    merge i: adjacent-pair counts → deterministic arg-max → replace-apply.
+    DuckDB replace and Java String.replace share left-to-right
+    non-overlapping semantics — BPE's greedy within-word merge order."""
+    parts = [
+        """
+    WITH wc AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    v0 AS (
+      SELECT '|' || array_to_string(
+               list_transform(generate_series(1, length(word)), i -> word[i]),
+               '||') || '|' AS repr,
+             cnt
+      FROM wc
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+    s{i} AS (
+      SELECT string_split(substr(repr, 2, length(repr) - 2), '||') AS syms,
+             cnt
+      FROM v{i - 1}
+    ),
+    p{i} AS (
+      SELECT syms[i] AS a, syms[i + 1] AS b, sum(cnt) AS pair_cnt
+      FROM (SELECT syms, cnt,
+                   unnest(CASE WHEN len(syms) >= 2
+                          THEN generate_series(1, len(syms) - 1)
+                          ELSE [] END) AS i
+            FROM s{i})
+      GROUP BY 1, 2
+    ),
+    b{i} AS (
+      SELECT {i} AS merge_rank, a, b, a || b AS merged, pair_cnt
+      FROM p{i} ORDER BY pair_cnt DESC, a ASC, b ASC LIMIT 1
+    ),
+    v{i} AS (
+      SELECT replace(repr, '|' || b{i}.a || '||' || b{i}.b || '|',
+                     '|' || b{i}.a || b{i}.b || '|') AS repr,
+             cnt
+      FROM v{i - 1} CROSS JOIN b{i}
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM b{i}" for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + union
+
+
+_q("bpe_merges", X.bpe_merges, _bpe_sql())
+
 _q(
     "text_unigram_logprob",
     X.text_unigram_logprob,

@@ -107,6 +107,9 @@ CHECKS = {
     # unigram LM gate: vocab partial-agg + broadcast probability join +
     # per-doc fold — two bounded shuffles, no window, no pair space
     "text_unigram_logprob": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct"],
+    # BPE induction: ONE corpus shuffle (word dict), then 8 vocab-bounded
+    # merge iterations — pair partial-aggs + broadcast 1-row merge applies
+    "bpe_merges": ["HashAggregate", "Broadcast", "!CartesianProduct"],
 }
 
 
