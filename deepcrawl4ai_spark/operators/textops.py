@@ -490,7 +490,12 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right non-overlapping semantics, which IS BPE's greedy merge
     order within a word."""
     docs = load_table(spark, sf_dir, "documents")
-    vocab = _bpe_word_vocab(docs).persist()
+    # eager localCheckpoint per step (the repo's fixpoint-loop pattern,
+    # tests/test_iterative.py): the vocab dict and the 1-row best-pair are
+    # MATERIALIZED each iteration, so plan depth stays constant and no
+    # iteration recomputes its predecessors (a lazy persist/unpersist chain
+    # here is quadratic — the parent cache dies before the child runs)
+    vocab = _bpe_word_vocab(docs).localCheckpoint()
     out = None
     for rank in range(1, 9):
         best = (
@@ -504,17 +509,21 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.col("a"), F.col("b")).alias("merged"),
                 "pair_cnt",
             )
+            .localCheckpoint()
         )
         out = best if out is None else out.unionByName(best)
-        nxt = vocab.crossJoin(F.broadcast(best.select("a", "b"))).select(
-            F.replace(
-                F.col("repr"),
-                F.concat(F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")),
-                F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
-            ).alias("repr"),
-            "cnt",
-        ).persist()
-        vocab.unpersist()
-        vocab = nxt
-    vocab.unpersist()
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("a", "b")))
+            .select(
+                F.replace(
+                    F.col("repr"),
+                    F.concat(
+                        F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")
+                    ),
+                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+                ).alias("repr"),
+                "cnt",
+            )
+            .localCheckpoint()
+        )
     return out

@@ -107,9 +107,11 @@ CHECKS = {
     # unigram LM gate: vocab partial-agg + broadcast probability join +
     # per-doc fold — two bounded shuffles, no window, no pair space
     "text_unigram_logprob": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct"],
-    # BPE induction: ONE corpus shuffle (word dict), then 8 vocab-bounded
-    # merge iterations — pair partial-aggs + broadcast 1-row merge applies
-    "bpe_merges": ["HashAggregate", "Broadcast", "!CartesianProduct"],
+    # BPE induction: iterative — each step (pair partial-agg + broadcast
+    # 1-row merge apply) is materialized via eager localCheckpoint, so the
+    # FINAL plan is a Union of 8 checkpointed 1-row frames; the per-step
+    # shapes live in the step builders (_bpe_pairs: one partial-agg shuffle)
+    "bpe_merges": ["Union", "!CartesianProduct", "!SortMergeJoin"],
 }
 
 
