@@ -2060,10 +2060,15 @@ SCALE_BASELINES: dict[str, str] = {
 }
 
 _DRIVER_WINDOW = [
-    # new this round (r05): the end-to-end corpus funnel + the multimodal
-    # family's first CORRECTNESS row
+    # new this round (r05): the end-to-end corpus funnel, the multimodal
+    # family's first CORRECTNESS row, measured-recall panels, and the two
+    # tokenizer/LM-gate ops
     "corpus_pipeline",
     "media_features",
+    "ann_recall_panel",
+    "dedup_recall_minhash",
+    "text_unigram_logprob",
+    "bpe_merges",
     # registered in r04 past the 50-entry cap (green in CORRECTNESS_FULL_r04)
     # — rotated in; demoted to make room: a6_queue_length, j4_broadcast_lookup,
     # p1_url_host, p7_status_color, p8_status_convert, dedup_simhash (each
@@ -2082,16 +2087,12 @@ _DRIVER_WINDOW = [
     "ann_topk_cosine",
     "ann_lsh_buckets",
     "c2_pruning_filter",
-    "c2_span_pruning",
     "c7_selector_inference",
     "a9_value_percentiles",
     "text_gopher_rules",
     "tpch_q1",
     "tpch_q3",
-    "tpch_q5ish",
-    "dedup_exact_keep",
     "ann_kmeans_update",
-    "sessionize_events",
     # §2 / scale-path representatives (long-stable, r02+r03-green)
     "a1_success_fail_counts",
     "r1_dynamic_rate_limit",
