@@ -2057,6 +2057,10 @@ SCALE_BASELINES: dict[str, str] = {
     # exact percentile = full per-group sort; the sketch twin is the
     # bounded-memory 100-TB path (its oracle is tolerance-based, ±1% rank)
     "a9_value_percentiles": "a9_percentiles_approx",
+    # the recall MEASUREMENT query embeds the all-pairs ground truth by
+    # definition (measuring the twin against it is its whole point); the
+    # pipeline op remains the twin
+    "dedup_recall_minhash": "dedup_minhash_verified",
 }
 
 _DRIVER_WINDOW = [

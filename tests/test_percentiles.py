@@ -28,3 +28,25 @@ def test_approx_band_robust_at_small_n(spark, tmp_path_factory, group_n):
     for r in out:
         assert r["n"] == group_n
         assert r["approx_ok"], f"gate tripped on a correct sketch at n={group_n}: {r}"
+
+
+def test_bpe_merges_chain(spark):
+    """BPE induction sanity beyond the oracle: 8 ordered merges, counts
+    non-increasing is NOT required (merges change pair counts), but ranks
+    are 1..8, every merged symbol is the concat of its pair, and at least
+    one later merge builds on an earlier merged symbol (the iterative
+    dependency actually exercised)."""
+    from deepcrawl4ai_spark.operators.textops import bpe_merges
+
+    rows = sorted(
+        bpe_merges(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    assert [r["merge_rank"] for r in rows] == list(range(1, 9))
+    for r in rows:
+        assert r["merged"] == r["a"] + r["b"]
+        assert r["pair_cnt"] > 0
+    merged_syms = {r["merged"] for r in rows}
+    assert any(
+        r["a"] in merged_syms or r["b"] in merged_syms for r in rows
+    ), "no merge ever used an earlier merged symbol"
