@@ -105,6 +105,127 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_paragraphs_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-paragraph REMOVAL — the transform `dedup_paragraphs` only
+    detects (same relationship as decontaminate_ngrams → decontaminate_apply):
+    every corpus-wide repeated paragraph keeps exactly its FIRST occurrence
+    (global order (doc_id, para_idx) — the C4 "remove all but one occurrence"
+    policy, public) and every later occurrence is dropped; the doc's trailing
+    <8-word remainder always survives. One row per doc: (doc_id, n_paras,
+    n_removed, clean_text) — so the output IS the paragraph-deduplicated
+    corpus.
+
+    Scale shape: posexplode → min-struct agg per paragraph hash (map-side
+    partial, one shuffle — the keeper election), join back on the hash, one
+    per-doc agg whose order-restoring sort is array_sort over the doc's OWN
+    kept paragraphs. No pair space; the within-doc tail never leaves the
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    n_paras = (F.size("w") / 8).cast("int")
+    paras = F.when(
+        F.size("w") >= 8,
+        F.transform(
+            F.sequence(F.lit(0), n_paras - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i * 8 + 1, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = w.select(
+        "doc_id", F.posexplode(paras).alias("para_idx", "para")
+    ).withColumn("ph", F.md5("para"))
+    keeper = exploded.groupBy("ph").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("k")
+    )
+    kept = (
+        exploded.join(keeper, "ph")
+        .filter(
+            (F.col("doc_id") == F.col("k.doc_id"))
+            & (F.col("para_idx") == F.col("k.para_idx"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ).alias("kept_paras"),
+        )
+    )
+    base = w.select(
+        "doc_id",
+        n_paras.cast("long").alias("n_paras"),
+        F.slice(
+            F.col("w"), n_paras * 8 + 1, F.size("w") - n_paras * 8
+        ).alias("tail"),
+    )
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.coalesce(F.col("kept_paras"), F.array().cast("array<string>")),
+                F.col("tail"),
+            ),
+        ).alias("clean_text"),
+    )
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SUBSTRING span detection (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better", public —
+    their ExactSubstr finds ≥50-token spans shared verbatim between docs).
+    The suffix-array they build is a single-machine structure; the honest
+    distributed shape is sliding 5-word shingles: a shingle position is
+    duplicated when its hash occurs in ≥2 distinct docs, and consecutive
+    duplicated positions merge into MAXIMAL spans (the island trick:
+    position − row_number is constant within a run). Output: one row per
+    maximal duplicated span (doc_id, span_start, span_words, n_shingles)
+    — span_words = last_start − first_start + 5.
+
+    Scale shape: explode → one shuffle on the shingle hash (count-distinct
+    partial agg) → semi-join back → ONE per-doc window (island grouping,
+    sorts bounded by doc length). No pair space, no suffix array."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    sh = F.when(
+        F.size("w") >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 5),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("w"), i + 1, 5))).alias(
+                    "sh"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,sh:string>>"))
+    pos = w.select("doc_id", F.explode(sh).alias("s")).select(
+        "doc_id", F.col("s.i").alias("i"), F.col("s.sh").alias("sh")
+    )
+    dup_hashes = (
+        pos.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("sh")
+    )
+    dup_pos = pos.join(dup_hashes, "sh").select("doc_id", "i")
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("doc_id").orderBy("i")
+    islands = dup_pos.withColumn(
+        "grp", F.col("i") - F.row_number().over(win)
+    )
+    return islands.groupBy("doc_id", "grp").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") - F.min("i") + 5).alias("span_words"),
+        F.count("*").cast("long").alias("n_shingles"),
+    ).select("doc_id", "span_start", "span_words", "n_shingles")
+
+
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark DECONTAMINATION (the GPT-3/PaLM-style training-data step,
     public): flag every corpus doc sharing any word n-gram with the held-out

@@ -404,6 +404,51 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture REBALANCING (The Pile / DoReMi-style source weighting,
+    public: a training corpus is sampled to target per-source shares, not
+    taken at natural proportions). Target here = uniform across sources:
+    every source is down-sampled to the smallest source's count,
+    keep_rate(source) = n_min / n_source, applied as the repo's
+    deterministic md5 draw — reproducible, and the oracle closed-form.
+    Output: kept docs with their source's rate and the draw that kept them.
+
+    Scale shape: one tiny partial-agg on source (dozens of rows at 100 TB)
+    broadcast back over the scan; the corpus itself is filtered scan-side
+    with ZERO corpus shuffles — exactly how a mixture pass must run at
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_source"))
+    n_min = counts.agg(F.min("n_source").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_source",
+        F.round(F.col("n_min") / F.col("n_source"), 6).alias("keep_rate"),
+    )
+    draw = F.round(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        )
+        / 10000.0,
+        6,
+    )
+    return (
+        docs.select("doc_id", "source", draw.alias("draw"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("draw") < F.col("keep_rate"))
+        .select("doc_id", "source", "n_source", "keep_rate", "draw")
+    )
+
+
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy (Wenzek et al. 2020, public — the
     perplexity gate every web-corpus pipeline runs before training): score
@@ -449,7 +494,7 @@ def _bpe_word_vocab(docs: DataFrame) -> DataFrame:
         "",
         F.transform(F.split(F.col("word"), ""), lambda c: F.concat(F.lit("|"), c, F.lit("|"))),
     )
-    return vocab.select(sym.alias("repr"), "cnt")
+    return vocab.select("word", sym.alias("repr"), "cnt")
 
 
 def _bpe_pairs(vocab: DataFrame) -> DataFrame:
@@ -474,30 +519,18 @@ def _bpe_pairs(vocab: DataFrame) -> DataFrame:
     )
 
 
-def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE vocabulary induction (Sennrich et al. 2016, public — the
-    tokenizer-training step of every LLM data pipeline) in its honest
-    100-TB shape: ONE corpus-scale shuffle builds the word-frequency dict
-    (the only part that touches the data), then 8 merge iterations run on
-    the compact dict — per iteration an adjacent-pair count (partial-agg
-    over a vocab-bounded table), a deterministic arg-max (max count, then
-    lexicographic pair), and a broadcast substring-replace merge apply.
-    Output: the ordered merge table (rank, a, b, merged, pair_cnt) — the
-    artifact a tokenizer ships.
-
-    The DuckDB oracle unrolls the same 8 iterations (the pagerank/kmeans
-    oracle pattern); Java's String.replace and DuckDB's replace share
-    left-to-right non-overlapping semantics, which IS BPE's greedy merge
-    order within a word."""
-    docs = load_table(spark, sf_dir, "documents")
-    # eager localCheckpoint per step (the repo's fixpoint-loop pattern,
-    # tests/test_iterative.py): the vocab dict and the 1-row best-pair are
-    # MATERIALIZED each iteration, so plan depth stays constant and no
-    # iteration recomputes its predecessors (a lazy persist/unpersist chain
-    # here is quadratic — the parent cache dies before the child runs)
+def _bpe_learn(docs: DataFrame, n_merges: int = 8):
+    """Shared BPE merge loop: returns (merge table, post-merge word→repr
+    vocab). One corpus-scale shuffle builds the dict; every iteration after
+    that is vocab-bounded. Eager localCheckpoint per step (the repo's
+    fixpoint-loop pattern, tests/test_iterative.py): the vocab dict and the
+    1-row best-pair are MATERIALIZED each iteration, so plan depth stays
+    constant and no iteration recomputes its predecessors (a lazy
+    persist/unpersist chain here is quadratic — the parent cache dies
+    before the child runs)."""
     vocab = _bpe_word_vocab(docs).localCheckpoint()
     out = None
-    for rank in range(1, 9):
+    for rank in range(1, n_merges + 1):
         best = (
             _bpe_pairs(vocab)
             .orderBy(F.col("pair_cnt").desc(), F.col("a").asc(), F.col("b").asc())
@@ -515,6 +548,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = (
             vocab.crossJoin(F.broadcast(best.select("a", "b")))
             .select(
+                "word",
                 F.replace(
                     F.col("repr"),
                     F.concat(
@@ -526,4 +560,65 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    return out, vocab
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (Sennrich et al. 2016, public — the
+    tokenizer-training step of every LLM data pipeline) in its honest
+    100-TB shape: ONE corpus-scale shuffle builds the word-frequency dict
+    (the only part that touches the data), then 8 merge iterations run on
+    the compact dict — per iteration an adjacent-pair count (partial-agg
+    over a vocab-bounded table), a deterministic arg-max (max count, then
+    lexicographic pair), and a broadcast substring-replace merge apply.
+    Output: the ordered merge table (rank, a, b, merged, pair_cnt) — the
+    artifact a tokenizer ships.
+
+    The DuckDB oracle unrolls the same 8 iterations (the pagerank/kmeans
+    oracle pattern); Java's String.replace and DuckDB's replace share
+    left-to-right non-overlapping semantics, which IS BPE's greedy merge
+    order within a word."""
+    docs = load_table(spark, sf_dir, "documents")
+    out, _ = _bpe_learn(docs)
     return out
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — apply the learned merge table to tokenize the corpus
+    (the other half of the tokenizer lifecycle: `bpe_merges` trains it,
+    this runs it over the training data, the step every pipeline executes
+    once per document forever after). Token count per word = symbol count
+    of its post-merge repr; per doc: (doc_id, n_words, n_tokens,
+    tokens_per_word). tokens_per_word < the doc's mean word length proves
+    the merges compress.
+
+    Scale shape: the encoder never re-walks characters per document — the
+    post-merge word→n_tokens dict (vocab-bounded, broadcast) joins the
+    exploded corpus and folds per doc. One corpus shuffle for the vocab
+    build, one explode + broadcast join + per-doc partial agg for the
+    encode itself; the 8 merge iterations touch only the compact dict."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = _bpe_learn(docs)
+    n_tok = F.size(
+        F.split(F.expr("substring(repr, 2, length(repr) - 2)"), r"\|\|")
+    )
+    tok_dict = vocab.select("word", n_tok.alias("n_tok"))
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    return (
+        words.join(F.broadcast(tok_dict), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_words"), 6).alias(
+                "tokens_per_word"
+            ),
+        )
+    )

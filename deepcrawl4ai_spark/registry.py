@@ -1754,12 +1754,14 @@ def _recall_minhash_sql() -> str:
 
 _q("dedup_recall_minhash", D.dedup_recall_minhash, _recall_minhash_sql())
 
-def _bpe_sql(n_merges: int = 8) -> str:
+def _bpe_sql(n_merges: int = 8, encode: bool = False) -> str:
     """Unrolled BPE merge oracle (the pagerank/kmeans unrolled-iteration
     pattern): v0 = word-frequency dict as |sym|-delimited reprs, then per
     merge i: adjacent-pair counts → deterministic arg-max → replace-apply.
     DuckDB replace and Java String.replace share left-to-right
-    non-overlapping semantics — BPE's greedy within-word merge order."""
+    non-overlapping semantics — BPE's greedy within-word merge order.
+    ``encode=True`` returns the ENCODE oracle instead: the post-merge
+    word→symbol-count dict applied back over the exploded corpus."""
     parts = [
         """
     WITH wc AS (
@@ -1768,7 +1770,8 @@ def _bpe_sql(n_merges: int = 8) -> str:
       GROUP BY word
     ),
     v0 AS (
-      SELECT '|' || array_to_string(
+      SELECT word,
+             '|' || array_to_string(
                list_transform(generate_series(1, length(word)), i -> word[i]),
                '||') || '|' AS repr,
              cnt
@@ -1796,18 +1799,130 @@ def _bpe_sql(n_merges: int = 8) -> str:
       FROM p{i} ORDER BY pair_cnt DESC, a ASC, b ASC LIMIT 1
     ),
     v{i} AS (
-      SELECT replace(repr, '|' || b{i}.a || '||' || b{i}.b || '|',
+      SELECT word,
+             replace(repr, '|' || b{i}.a || '||' || b{i}.b || '|',
                      '|' || b{i}.a || b{i}.b || '|') AS repr,
              cnt
       FROM v{i - 1} CROSS JOIN b{i}
     )""")
+    if encode:
+        final = f""",
+    tok AS (
+      SELECT word,
+             len(string_split(substr(repr, 2, length(repr) - 2), '||')) AS n_tok
+      FROM v{n_merges}
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS tokens_per_word
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    JOIN tok USING (word)
+    GROUP BY doc_id"""
+        return "".join(parts) + final
     union = "\n    UNION ALL ".join(
-        f"SELECT * FROM b{i}" for i in range(1, n_merges + 1)
+        f"SELECT merge_rank, a, b, merged, pair_cnt FROM b{i}"
+        for i in range(1, n_merges + 1)
     )
     return "".join(parts) + "\n    " + union
 
 
 _q("bpe_merges", X.bpe_merges, _bpe_sql())
+
+_q("bpe_encode", X.bpe_encode, _bpe_sql(encode=True))
+
+_q(
+    "dedup_paragraphs_apply",
+    D.dedup_paragraphs_apply,
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             CAST(floor(len(string_split(text, ' ')) / 8) AS INT) AS n_paras
+      FROM documents
+    ),
+    p0 AS (
+      SELECT doc_id, words,
+             unnest(CASE WHEN n_paras > 0
+                    THEN generate_series(0, n_paras - 1) ELSE [] END) AS i
+      FROM w
+    ),
+    p AS (
+      SELECT doc_id, CAST(i AS INT) AS para_idx,
+             array_to_string(words[i*8+1 : i*8+8], ' ') AS para
+      FROM p0
+    ),
+    k AS (
+      SELECT doc_id, para_idx, para,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, para_idx) AS rn
+      FROM p
+    ),
+    kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             list(para ORDER BY para_idx) AS kept_paras
+      FROM k WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(n_paras AS BIGINT) AS n_paras,
+           CAST(n_paras - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+             list_concat(COALESCE(kept_paras, []),
+                         words[n_paras*8+1 : len(words)]), ' '), '')
+             AS clean_text
+    FROM w LEFT JOIN kept USING (doc_id)
+    """,
+)
+
+_q(
+    "dedup_substring_spans",
+    D.dedup_substring_spans,
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             md5(array_to_string(w[i+1 : i+5], ' ')) AS sh
+      FROM (SELECT doc_id, w,
+                   unnest(CASE WHEN len(w) >= 5
+                          THEN generate_series(0, len(w) - 5) ELSE [] END) AS i
+            FROM w)
+    ),
+    duph AS (SELECT sh FROM pos GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+    dp AS (SELECT doc_id, i FROM pos JOIN duph USING (sh)),
+    isl AS (
+      SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM dp
+    )
+    SELECT doc_id, CAST(min(i) AS INT) AS span_start,
+           CAST(max(i) - min(i) + 5 AS INT) AS span_words,
+           count(*) AS n_shingles
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+
+_q(
+    "sample_domain_mix",
+    X.sample_domain_mix,
+    """
+    WITH c AS (SELECT source, count(*) AS n_source FROM documents
+               GROUP BY source),
+    m AS (SELECT min(n_source) AS n_min FROM c),
+    r AS (
+      SELECT source, n_source,
+             round(CAST(n_min AS DOUBLE) / n_source, 6) AS keep_rate
+      FROM c CROSS JOIN m
+    ),
+    d AS (
+      SELECT doc_id, source,
+             round((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),
+                                         1, 8)) AS BIGINT) % 10000)
+                   / CAST(10000.0 AS DOUBLE), 6) AS draw
+      FROM documents
+    )
+    SELECT doc_id, d.source, n_source, keep_rate, draw
+    FROM d JOIN r USING (source) WHERE draw < keep_rate
+    """,
+)
 
 _q(
     "text_unigram_logprob",

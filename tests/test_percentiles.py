@@ -50,3 +50,56 @@ def test_bpe_merges_chain(spark):
     assert any(
         r["a"] in merged_syms or r["b"] in merged_syms for r in rows
     ), "no merge ever used an earlier merged symbol"
+
+
+def _write_docs(spark, sf_dir, texts):
+    rows = [
+        (i + 1, t, "en", "web", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_dedup_substring_spans_islands(spark, tmp_path_factory):
+    """Two docs share a verbatim 7-word run: every in-run 5-shingle is
+    duplicated, and consecutive duplicated starts must merge into ONE
+    maximal island per doc with span_words = 7 and n_shingles = 3."""
+    from deepcrawl4ai_spark.operators.dedup import dedup_substring_spans
+
+    sf_dir = str(tmp_path_factory.mktemp("substrspans"))
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    _write_docs(
+        spark,
+        sf_dir,
+        [f"u1 u2 {shared} u3", f"v1 {shared} v2 v3"],
+    )
+    rows = sorted(
+        dedup_substring_spans(spark, sf_dir).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [
+        (r["doc_id"], r["span_start"], r["span_words"], r["n_shingles"])
+        for r in rows
+    ] == [(1, 2, 7, 3), (2, 1, 7, 3)]
+
+
+def test_dedup_paragraphs_apply_keeps_first_occurrence(spark, tmp_path_factory):
+    """The corpus-wide FIRST occurrence of a repeated paragraph survives
+    (C4's remove-all-but-one policy); later occurrences are cut while the
+    <8-word tail always survives."""
+    from deepcrawl4ai_spark.operators.dedup import dedup_paragraphs_apply
+
+    sf_dir = str(tmp_path_factory.mktemp("paraapply"))
+    para_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    para_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    _write_docs(
+        spark,
+        sf_dir,
+        [f"{para_a} {para_b}", f"{para_a} t1 t2 t3"],
+    )
+    rows = {r["doc_id"]: r for r in dedup_paragraphs_apply(spark, sf_dir).collect()}
+    assert rows[1]["n_paras"] == 2 and rows[1]["n_removed"] == 0
+    assert rows[1]["clean_text"] == f"{para_a} {para_b}"
+    assert rows[2]["n_paras"] == 1 and rows[2]["n_removed"] == 1
+    assert rows[2]["clean_text"] == "t1 t2 t3"

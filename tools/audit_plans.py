@@ -112,6 +112,18 @@ CHECKS = {
     # FINAL plan is a Union of 8 checkpointed 1-row frames; the per-step
     # shapes live in the step builders (_bpe_pairs: one partial-agg shuffle)
     "bpe_merges": ["Union", "!CartesianProduct", "!SortMergeJoin"],
+    # late r5: paragraph-dedup APPLY keeps the detection's one-shuffle shape
+    # (keeper election = min-struct partial agg on ph, join back on ph, per-
+    # doc reassembly agg) — never a pair space; substring spans add exactly
+    # one per-doc window (island grouping) on top of the shingle-hash agg
+    "dedup_paragraphs_apply": ["HashAggregate", "Batched: true", "!CartesianProduct"],
+    "dedup_substring_spans": ["Window", "HashAggregate", "!CartesianProduct"],
+    # mixture rebalancing: per-source rates are a tiny broadcast dim over the
+    # scan-side draw filter — the corpus itself never shuffles
+    "sample_domain_mix": ["BroadcastHashJoin", "Batched: true", "!SortMergeJoin"],
+    # BPE encode: the post-merge dict (checkpointed by the learn loop) joins
+    # the exploded corpus BROADCAST, then one per-doc partial agg
+    "bpe_encode": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
 }
 
 
