@@ -2188,6 +2188,14 @@ _DRIVER_WINDOW = [
     "dedup_recall_minhash",
     "text_unigram_logprob",
     "bpe_merges",
+    # late r05: the removal/apply twins, the mixture sampler, and the
+    # encoder half of the tokenizer; demoted to make room (families still
+    # in-window via cousins, rows still in CORRECTNESS_FULL every round):
+    # text_token_count, text_langid, ann_lsh_buckets, sample_stratified
+    "dedup_paragraphs_apply",
+    "dedup_substring_spans",
+    "sample_domain_mix",
+    "bpe_encode",
     # registered in r04 past the 50-entry cap (green in CORRECTNESS_FULL_r04)
     # — rotated in; demoted to make room: a6_queue_length, j4_broadcast_lookup,
     # p1_url_host, p7_status_color, p8_status_convert, dedup_simhash (each
@@ -2204,7 +2212,6 @@ _DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_topk_cosine",
-    "ann_lsh_buckets",
     "c2_pruning_filter",
     "c7_selector_inference",
     "a9_value_percentiles",
@@ -2231,10 +2238,7 @@ _DRIVER_WINDOW = [
     "dedup_clusters_lp",
     "ann_ivf_topk",
     "ann_lsh_topk",
-    "text_token_count",
-    "text_langid",
     "pack_sequences",
-    "sample_stratified",
     "c1_interleave_stats",
     "c6_media_extraction",
     "c7_css_selectors",
