@@ -38,6 +38,19 @@ MINHASH_PARAMS = [
     (2357, 7393),
     (2741, 8443),
 ]
+# 16-permutation extension: the FIRST 8 are MINHASH_PARAMS verbatim, so the
+# 16-band candidate set is a provable superset of the 8-band one (each band
+# is one permutation) — recall can only go up (dedup_recall_minhash16).
+MINHASH_PARAMS_16 = MINHASH_PARAMS + [
+    (3181, 9473),
+    (1867, 10627),
+    (2503, 11779),
+    (2087, 12917),
+    (2897, 14083),
+    (1613, 15241),
+    (2273, 16411),
+    (3037, 17573),
+]
 
 
 def _words(col):
@@ -324,17 +337,18 @@ def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: 8 permutations, 8 bands × 1 row.
-    Two docs are candidates iff any minhash matches."""
-    docs = load_table(spark, sf_dir, "documents")
+def _minhash_cands(docs: DataFrame, params: list) -> DataFrame:
+    """MinHash+LSH candidate pairs with len(params) permutations banded as
+    len(params) bands × 1 row: two docs are candidates iff any minhash
+    matches. More permutations = strictly MORE bands = a provable superset
+    of candidates when the param list extends a shorter one."""
     w = docs.select("doc_id", _words(F.col("text")).alias("w"))
     sh = w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh"))
     x = (_hex_hash(F.col("sh")) % P).alias("x")
     h = sh.select("doc_id", x)
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % P).alias(f"m{i}")
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
+        for i, (a, b) in enumerate(params)
     ]
     mh = h.groupBy("doc_id").agg(*aggs)
     bands = mh.select(
@@ -345,7 +359,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(i).alias("band"), F.col(f"m{i}").alias("bucket")
                     )
-                    for i in range(len(MINHASH_PARAMS))
+                    for i in range(len(params))
                 ]
             )
         ).alias("bb"),
@@ -362,6 +376,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: 8 permutations, 8 bands × 1 row.
+    Two docs are candidates iff any minhash matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _minhash_cands(docs, MINHASH_PARAMS)
 
 
 def _simhash_sig(docs: DataFrame, n_bits: int) -> DataFrame:
@@ -576,13 +597,9 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full two-stage near-dup pipeline: MinHash+LSH candidate pairs →
-    exact shingle-Jaccard verification (keep jaccard ≥ 0.04). At scale the
-    candidate stage collapses the pair space; the exact stage only touches
-    survivors."""
-    cands = dedup_minhash_lsh(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+def _verified_pairs(docs: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard verification of a candidate pair set (keep
+    jaccard ≥ 0.04) — the second stage of every LSH near-dup pipeline."""
     w = docs.select("doc_id", _words(F.col("text")).alias("w"))
     sh = w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -611,6 +628,15 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return verified.filter(F.col("jaccard") >= 0.04)
+
+
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage near-dup pipeline: MinHash+LSH candidate pairs →
+    exact shingle-Jaccard verification (keep jaccard ≥ 0.04). At scale the
+    candidate stage collapses the pair space; the exact stage only touches
+    survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS))
 
 
 def dedup_clusters_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,20 +732,11 @@ def label_propagation_fixpoint(
     return labels, iters
 
 
-def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH recall MEASURED as a registered query (r05): ground
-    truth = ALL document pairs with exact shingle-Jaccard ≥ 0.04 (the
-    verify threshold; no lang blocking, no LSH pruning — the uncompromised
-    all-pairs answer), found = dedup_minhash_verified's output. found ⊆
-    truth by construction (verification is the same exact Jaccard), so the
-    single output row is the recall fact itself: how many true near-dup
-    pairs LSH banding recovers. Turns the SCALE_BASELINES tag on
-    dedup_ngram_jaccard into standing driver-verified evidence.
-
-    Scale shape: the truth side is the tagged all-pairs baseline (this
-    query's whole point is to measure the scale twin against it at test
-    scale); the aggregates are three 1-row frames broadcast-cross-joined."""
-    docs = load_table(spark, sf_dir, "documents")
+def _truth_pairs(docs: DataFrame) -> DataFrame:
+    """All-pairs exact shingle-Jaccard ≥ 0.04 ground truth — the
+    deliberately-unsafe all-pairs shape (tagged via the recall queries in
+    SCALE_BASELINES), existing only to measure the LSH twins at test
+    scale."""
     w = docs.select("doc_id", _words(F.col("text")).alias("w"))
     sh = w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -737,13 +754,30 @@ def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
         6,
     )
-    truth = (
+    return (
         inter.join(sizes.alias("sa"), F.col("doc1") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc2") == F.col("sb.doc_id"))
         .select("doc1", "doc2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.04)
         .select("doc1", "doc2")
     )
+
+
+def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH recall MEASURED as a registered query (r05): ground
+    truth = ALL document pairs with exact shingle-Jaccard ≥ 0.04 (the
+    verify threshold; no lang blocking, no LSH pruning — the uncompromised
+    all-pairs answer), found = dedup_minhash_verified's output. found ⊆
+    truth by construction (verification is the same exact Jaccard), so the
+    single output row is the recall fact itself: how many true near-dup
+    pairs LSH banding recovers. Turns the SCALE_BASELINES tag on
+    dedup_ngram_jaccard into standing driver-verified evidence.
+
+    Scale shape: the truth side is the tagged all-pairs baseline (this
+    query's whole point is to measure the scale twin against it at test
+    scale); the aggregates are three 1-row frames broadcast-cross-joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = _truth_pairs(docs)
     found = dedup_minhash_verified(spark, sf_dir).select("doc1", "doc2")
     n_truth = truth.agg(F.count("*").alias("n_truth"))
     n_found = found.agg(F.count("*").alias("n_found"))
@@ -756,5 +790,43 @@ def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_found",
             "n_hit",
             F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )
+
+
+def dedup_recall_minhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECALL LEVER, measured: rerun the two-stage near-dup pipeline
+    with 16 minhash permutations (16 bands × 1 row) next to the production
+    8, against the same all-pairs ground truth. Because MINHASH_PARAMS_16
+    extends MINHASH_PARAMS verbatim, the 16-band candidate set is a
+    PROVABLE superset of the 8-band one and verification is the same exact
+    Jaccard — so monotone_ok (hit16 ≥ hit8) is an invariant, not a
+    tolerance, and the recall16 − recall8 delta is the price list for the
+    band/width trade-off a 100-TB operator tunes.
+
+    Scale shape: truth = the tagged all-pairs baseline (the measurement's
+    point); both pipeline sides stay LSH-pruned; final aggregates are 1-row
+    frames broadcast-cross-joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = _truth_pairs(docs)
+    f8 = _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS)).select(
+        "doc1", "doc2"
+    )
+    f16 = _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS_16)).select(
+        "doc1", "doc2"
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    h8 = truth.join(f8, ["doc1", "doc2"]).agg(F.count("*").alias("n_hit8"))
+    h16 = truth.join(f16, ["doc1", "doc2"]).agg(F.count("*").alias("n_hit16"))
+    return (
+        n_truth.crossJoin(F.broadcast(h8))
+        .crossJoin(F.broadcast(h16))
+        .select(
+            "n_truth",
+            "n_hit8",
+            "n_hit16",
+            F.round(F.col("n_hit8") / F.col("n_truth"), 6).alias("recall8"),
+            F.round(F.col("n_hit16") / F.col("n_truth"), 6).alias("recall16"),
+            (F.col("n_hit16") >= F.col("n_hit8")).alias("monotone_ok"),
         )
     )

@@ -420,3 +420,122 @@ def ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hits_p2 >= hits_p1).alias("monotone_ok"),
         )
     )
+
+
+# --- Product quantization (Jégou et al. 2011, public) --------------------------
+
+N_SUB = 4
+SUB_DIM = 16
+
+
+def _l2sq(a, b):
+    """Squared L2 over two float arrays, folded in index order with a 0.0
+    init — exactly DuckDB's list_reduce shape, so value hashes agree."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): the 64-dim embedding split into N_SUB=4 contiguous
+    16-dim subspaces — PQ's decomposition. The explode is scan-side (array
+    slices of literal bounds, no shuffle)."""
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("embedding", m * SUB_DIM + 1, SUB_DIM).alias("sv"),
+                    )
+                    for m in range(N_SUB)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011 "Product Quantization
+    for Nearest Neighbor Search", public — the compressed-domain
+    complement to IVF): each subspace gets a codebook (deterministic
+    seeds: the vec_id % 50 == 0 sub-vectors, the IVF seed convention),
+    every corpus vector is ENCODED as 4 centroid ids (argmin sub-L2,
+    cid tie-break), and queries search with ADC — per (query, subspace,
+    centroid) distance tables summed by table lookup, never touching the
+    original corpus vectors. Top-5 per query by ascending ADC distance.
+
+    Scale shape: codebooks and the ADC distance tables are tiny and
+    broadcast; encoding is one partial-agg (min-struct) per (vec_id, m);
+    the scan phase reads CODES (4 small ints/vector — the 16× memory
+    compression that lets a 100-TB corpus fit an in-memory sweep), one
+    partial agg per (query, vector), one WindowGroupLimit top-k. The
+    4-term ADC sum folds in subspace order via a sorted array — identical
+    fold order to the oracle, no float nondeterminism."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = _subvectors(emb)
+    cents = subs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("m").alias("cm"),
+        F.col("sv").alias("cv"),
+    )
+    corpus = subs.filter(F.col("vec_id") >= 10)
+    codes = (
+        corpus.join(F.broadcast(cents), F.col("m") == F.col("cm"))
+        .select(
+            "vec_id",
+            "m",
+            "cid",
+            _l2sq(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "cid")).alias("k"))
+        .select("vec_id", "m", F.col("k.cid").alias("code"))
+    )
+    q = subs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("m").alias("qm"),
+        F.col("sv").alias("qv"),
+    )
+    dtable = (
+        q.join(F.broadcast(cents), F.col("qm") == F.col("cm"))
+        .select(
+            "qid",
+            F.col("qm").alias("m"),
+            F.col("cid").alias("code"),
+            _l2sq(F.col("qv"), F.col("cv")).alias("qd"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "qd"))),
+                    lambda s: s["qd"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc_raw")
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc_raw").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("adc_raw", 6).alias("adc"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -429,16 +429,17 @@ _MH_SQL_COMMON = """
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(params: list | None = None) -> str:
     from deepcrawl4ai_spark.operators.dedup import MINHASH_PARAMS, P
 
+    params = params or MINHASH_PARAMS
     mins = ", ".join(
         f"min(({a} * x + {b}) % {P}) AS m{i}"
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
+        for i, (a, b) in enumerate(params)
     )
     bands = "\n      UNION ALL ".join(
         f"SELECT doc_id, {i} AS band, m{i} AS bucket FROM mh"
-        for i in range(len(MINHASH_PARAMS))
+        for i in range(len(params))
     )
     body = _MH_SQL_COMMON.format(min_exprs=mins, band_union=bands)
     return (
@@ -1684,8 +1685,8 @@ _q(
 )
 
 
-def _minhash_verified_sql() -> str:
-    base = _minhash_sql()
+def _minhash_verified_sql(params: list | None = None) -> str:
+    base = _minhash_sql(params)
     return f"""
     WITH cands AS ({base}),
     w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1753,6 +1754,105 @@ def _recall_minhash_sql() -> str:
 
 
 _q("dedup_recall_minhash", D.dedup_recall_minhash, _recall_minhash_sql())
+
+
+def _recall_minhash16_sql() -> str:
+    from deepcrawl4ai_spark.operators.dedup import MINHASH_PARAMS_16
+
+    f8 = _minhash_verified_sql()
+    f16 = _minhash_verified_sql(MINHASH_PARAMS_16)
+    return f"""
+    WITH f8 AS ({f8}),
+    f16 AS ({f16}),
+    wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sht AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) >= 3
+                    THEN list_transform(generate_series(1, len(w) - 2),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    ELSE [] END) AS sh
+      FROM wt
+    ),
+    sizest AS (SELECT doc_id, count(*) AS n_sh FROM sht GROUP BY doc_id),
+    intert AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+      FROM sht a JOIN sht b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.doc1, i.doc2
+      FROM intert i
+      JOIN sizest sa ON i.doc1 = sa.doc_id
+      JOIN sizest sb ON i.doc2 = sb.doc_id
+      WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.04
+    ),
+    h8 AS (SELECT count(*) AS n_hit8 FROM truth JOIN f8 USING (doc1, doc2)),
+    h16 AS (SELECT count(*) AS n_hit16 FROM truth JOIN f16 USING (doc1, doc2))
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           n_hit8,
+           n_hit16,
+           round(CAST(n_hit8 AS DOUBLE) / (SELECT count(*) FROM truth), 6)
+             AS recall8,
+           round(CAST(n_hit16 AS DOUBLE) / (SELECT count(*) FROM truth), 6)
+             AS recall16,
+           n_hit16 >= n_hit8 AS monotone_ok
+    FROM h8 CROSS JOIN h16
+    """
+
+
+_q("dedup_recall_minhash16", D.dedup_recall_minhash16, _recall_minhash16_sql())
+
+
+def _pq_sql() -> str:
+    from deepcrawl4ai_spark.operators.similarity import N_SUB, SUB_DIM
+
+    def l2sq(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {SUB_DIM}), "
+            f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+            f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+            f"(x, y) -> x + y)"
+        )
+
+    ms = ", ".join(str(m) for m in range(N_SUB))
+    return f"""
+    WITH subs AS (
+      SELECT vec_id, m,
+             embedding[m*{SUB_DIM}+1 : m*{SUB_DIM}+{SUB_DIM}] AS sv
+      FROM (SELECT vec_id, embedding, unnest([{ms}]) AS m FROM embeddings)
+    ),
+    cents AS (
+      SELECT vec_id AS cid, m AS cm, sv AS cv FROM subs WHERE vec_id % 50 = 0
+    ),
+    coded AS (
+      SELECT vec_id, m, cid,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY {l2sq('sv', 'cv')} ASC, cid ASC) AS rn
+      FROM subs JOIN cents ON subs.m = cents.cm
+      WHERE vec_id >= 10
+    ),
+    codes AS (SELECT vec_id, m, cid AS code FROM coded WHERE rn = 1),
+    dtable AS (
+      SELECT vec_id AS qid, m, cid AS code, {l2sq('sv', 'cv')} AS qd
+      FROM subs JOIN cents ON subs.m = cents.cm
+      WHERE vec_id < 10
+    ),
+    adc AS (
+      SELECT qid, codes.vec_id,
+             list_reduce(list(qd ORDER BY codes.m), (x, y) -> x + y) AS adc_raw
+      FROM codes JOIN dtable ON codes.m = dtable.m AND codes.code = dtable.code
+      GROUP BY qid, codes.vec_id
+    )
+    SELECT qid, vec_id, round(adc_raw, 6) AS adc, rk FROM (
+      SELECT qid, vec_id, adc_raw,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc_raw ASC, vec_id ASC) AS rk
+      FROM adc
+    ) WHERE rk <= 5
+    """
+
+
+_q("ann_pq_topk", S.ann_pq_topk, _pq_sql())
 
 def _bpe_sql(n_merges: int = 8, encode: bool = False) -> str:
     """Unrolled BPE merge oracle (the pagerank/kmeans unrolled-iteration
@@ -2176,6 +2276,7 @@ SCALE_BASELINES: dict[str, str] = {
     # definition (measuring the twin against it is its whole point); the
     # pipeline op remains the twin
     "dedup_recall_minhash": "dedup_minhash_verified",
+    "dedup_recall_minhash16": "dedup_minhash_verified",
 }
 
 _DRIVER_WINDOW = [

@@ -124,6 +124,18 @@ CHECKS = {
     # BPE encode: the post-merge dict (checkpointed by the learn loop) joins
     # the exploded corpus BROADCAST, then one per-doc partial agg
     "bpe_encode": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+    # PQ search: codebooks + ADC distance tables broadcast, encoding and the
+    # ADC fold are partial aggs, top-k is a group-limited window — the
+    # compressed-domain scan never joins corpus×corpus
+    "ann_pq_topk": [
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "WindowGroupLimit",
+        "!CartesianProduct",
+    ],
+    # 16-perm recall lever: truth side is the tagged all-pairs baseline by
+    # design; assert the pipeline sides stay partial-agg shaped
+    "dedup_recall_minhash16": ["HashAggregate"],
 }
 
 
