@@ -539,3 +539,32 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall@5 MEASURED (the ann_recall_panel discipline applied to the
+    compressed-domain search): per query, how many of the exact brute-force
+    top-5 the ADC scan recovers. Unlike IVF probes there is no superset
+    invariant — PQ's loss is quantization distortion, not candidate
+    pruning — so the number itself is the evidence: it prices the 16×
+    compression. Scale shape: both searches are broadcast + WindowGroupLimit
+    plans; the recall join touches ≤ 10×5 rows."""
+    exact = (
+        ann_topk_cosine(spark, sf_dir)
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id")
+    )
+    pq = ann_pq_topk(spark, sf_dir).select("qid", "vec_id")
+    base = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    h = (
+        exact.join(pq, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("h"))
+    )
+    hits = F.coalesce(F.col("h"), F.lit(0).cast("long"))
+    return base.join(h, "qid", "left").select(
+        "qid",
+        "n_exact",
+        hits.alias("hits_pq"),
+        F.round(hits / F.col("n_exact"), 6).alias("recall_pq"),
+    )

@@ -1854,6 +1854,38 @@ def _pq_sql() -> str:
 
 _q("ann_pq_topk", S.ann_pq_topk, _pq_sql())
 
+_q(
+    "ann_recall_pq",
+    S.ann_recall_pq,
+    f"""
+    WITH eq AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm)
+                   DESC, c.vec_id ASC) AS rk
+        FROM eq q CROSS JOIN eq c
+        WHERE q.vec_id < 10 AND c.vec_id >= 10
+      ) WHERE rk <= 5
+    ),
+    pq AS ({_pq_sql()}),
+    base AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid),
+    h AS (
+      SELECT qid, count(*) AS h
+      FROM exact JOIN pq USING (qid, vec_id) GROUP BY qid
+    )
+    SELECT qid, n_exact, COALESCE(h, 0) AS hits_pq,
+           round(CAST(COALESCE(h, 0) AS DOUBLE) / n_exact, 6) AS recall_pq
+    FROM base LEFT JOIN h USING (qid)
+    """,
+)
+
 def _bpe_sql(n_merges: int = 8, encode: bool = False) -> str:
     """Unrolled BPE merge oracle (the pagerank/kmeans unrolled-iteration
     pattern): v0 = word-frequency dict as |sym|-delimited reprs, then per
@@ -2277,6 +2309,8 @@ SCALE_BASELINES: dict[str, str] = {
     # pipeline op remains the twin
     "dedup_recall_minhash": "dedup_minhash_verified",
     "dedup_recall_minhash16": "dedup_minhash_verified",
+    # the PQ recall measurement embeds the brute-force exact side
+    "ann_recall_pq": "ann_pq_topk",
 }
 
 _DRIVER_WINDOW = [

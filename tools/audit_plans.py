@@ -136,6 +136,7 @@ CHECKS = {
     # 16-perm recall lever: truth side is the tagged all-pairs baseline by
     # design; assert the pipeline sides stay partial-agg shaped
     "dedup_recall_minhash16": ["HashAggregate"],
+    "ann_recall_pq": ["WindowGroupLimit", "HashAggregate", "BroadcastHashJoin"],
 }
 
 
