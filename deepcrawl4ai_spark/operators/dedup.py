@@ -239,6 +239,80 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "span_start", "span_words", "n_shingles")
 
 
+def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-substring REMOVAL — the ExactSubstr cut step (Lee et al.
+    2022 drop one occurrence of every duplicated span and keep the other,
+    public). Keeper election per duplicated 5-word shingle hash = the
+    corpus-wide first occurrence (min (doc_id, position)); every word
+    covered by a NON-keeper duplicated shingle is cut, and the clean
+    remainder keeps its original order. One row per doc: (doc_id, n_words,
+    n_removed, clean_text) — the substring-deduplicated corpus itself.
+
+    Scale shape: the decontaminate_apply machinery pointed at corpus
+    self-duplicates — shingle-hash partial agg (dup filter + keeper
+    election, two one-shuffle aggs on the same key), covered-position
+    explode (≤5× the duplicated occurrences, never the corpus), one
+    (doc, position) anti-join, one per-doc reassembly agg whose sort is
+    bounded by doc length. No pair space, no suffix array."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    sh = F.when(
+        F.size("w") >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 5),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("w"), i + 1, 5))).alias(
+                    "sh"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,sh:string>>"))
+    pos = w.select("doc_id", F.explode(sh).alias("s")).select(
+        "doc_id", F.col("s.i").alias("i"), F.col("s.sh").alias("sh")
+    )
+    dup_hashes = (
+        pos.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("sh")
+    )
+    occ = pos.join(dup_hashes, "sh")
+    keeper = occ.groupBy("sh").agg(F.min(F.struct("doc_id", "i")).alias("k"))
+    non_keeper = (
+        occ.join(keeper, "sh")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("k.doc_id"))
+                & (F.col("i") == F.col("k.i"))
+            )
+        )
+        .select("doc_id", "i")
+    )
+    covered = non_keeper.select(
+        "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 4)).alias("widx")
+    ).distinct()
+    words = w.select("doc_id", F.posexplode("w").alias("widx", "word"))
+    kept = words.join(covered, ["doc_id", "widx"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = w.select("doc_id", F.size("w").cast("long").alias("_n"))
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("_n").alias("n_words"),
+        (F.col("_n") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark DECONTAMINATION (the GPT-3/PaLM-style training-data step,
     public): flag every corpus doc sharing any word n-gram with the held-out

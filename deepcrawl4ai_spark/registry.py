@@ -1803,6 +1803,63 @@ def _recall_minhash16_sql() -> str:
 _q("dedup_recall_minhash16", D.dedup_recall_minhash16, _recall_minhash16_sql())
 
 
+_q(
+    "dedup_substring_apply",
+    D.dedup_substring_apply,
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    p0 AS (
+      SELECT doc_id, words,
+             unnest(CASE WHEN n >= 5
+                    THEN generate_series(1, n - 4) ELSE [] END) AS i
+      FROM w
+    ),
+    pos AS (
+      SELECT doc_id, i, md5(array_to_string(words[i : i+4], ' ')) AS sh
+      FROM p0
+    ),
+    duph AS (SELECT sh FROM pos GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+    occ AS (SELECT doc_id, i, pos.sh FROM pos JOIN duph USING (sh)),
+    k AS (
+      SELECT sh, doc_id AS kdoc, i AS ki FROM (
+        SELECT sh, doc_id, i,
+               row_number() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn
+        FROM occ
+      ) WHERE rn = 1
+    ),
+    nk AS (
+      SELECT o.doc_id, o.i FROM occ o JOIN k USING (sh)
+      WHERE NOT (o.doc_id = kdoc AND o.i = ki)
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, widx FROM (
+        SELECT doc_id, unnest(generate_series(i, i + 4)) AS widx FROM nk
+      )
+    ),
+    wx0 AS (SELECT doc_id, words, unnest(generate_series(1, n)) AS wi FROM w),
+    wx AS (SELECT doc_id, wi, words[wi] AS word FROM wx0),
+    kept AS (
+      SELECT wx.doc_id, wi, word FROM wx
+      LEFT JOIN cov ON cov.doc_id = wx.doc_id AND cov.widx = wx.wi
+      WHERE cov.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY wi) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id, CAST(n AS BIGINT) AS n_words,
+           CAST(n - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(clean_text, '') AS clean_text
+    FROM w LEFT JOIN agg USING (doc_id)
+    """,
+)
+
+
 def _pq_sql() -> str:
     from deepcrawl4ai_spark.operators.similarity import N_SUB, SUB_DIM
 

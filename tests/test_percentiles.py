@@ -103,3 +103,23 @@ def test_dedup_paragraphs_apply_keeps_first_occurrence(spark, tmp_path_factory):
     assert rows[1]["clean_text"] == f"{para_a} {para_b}"
     assert rows[2]["n_paras"] == 1 and rows[2]["n_removed"] == 1
     assert rows[2]["clean_text"] == "t1 t2 t3"
+
+
+def test_dedup_substring_apply_cuts_non_keeper(spark, tmp_path_factory):
+    """The cut step keeps the corpus-first occurrence of a duplicated run
+    and removes every word covered by later occurrences, leaving the rest
+    of the doc intact."""
+    from deepcrawl4ai_spark.operators.dedup import dedup_substring_apply
+
+    sf_dir = str(tmp_path_factory.mktemp("substrapply"))
+    shared = "alpha beta gamma delta epsilon"
+    _write_docs(
+        spark,
+        sf_dir,
+        [f"u1 {shared} u2", f"v1 v2 {shared} v3"],
+    )
+    rows = {r["doc_id"]: r for r in dedup_substring_apply(spark, sf_dir).collect()}
+    assert rows[1]["n_removed"] == 0
+    assert rows[1]["clean_text"] == f"u1 {shared} u2"
+    assert rows[2]["n_removed"] == 5
+    assert rows[2]["clean_text"] == "v1 v2 v3"

@@ -137,6 +137,10 @@ CHECKS = {
     # design; assert the pipeline sides stay partial-agg shaped
     "dedup_recall_minhash16": ["HashAggregate"],
     "ann_recall_pq": ["WindowGroupLimit", "HashAggregate", "BroadcastHashJoin"],
+    # ExactSubstr cut: same covered-position machinery as decontaminate_apply
+    # pointed at corpus self-duplicates — keeper election and dup filter are
+    # partial aggs on the shingle hash, the word anti-join never pairs docs
+    "dedup_substring_apply": ["HashAggregate", "Batched: true", "!CartesianProduct"],
 }
 
 
