@@ -64,6 +64,15 @@ EXTRAS = [
     "ann_recall_panel",
     "dedup_recall_minhash",
     "bpe_merges",
+    # late round-5 operators
+    "bpe_encode",
+    "dedup_paragraphs_apply",
+    "dedup_substring_spans",
+    "dedup_substring_apply",
+    "sample_domain_mix",
+    "ann_pq_topk",
+    "ann_recall_pq",
+    "dedup_recall_minhash16",
 ]
 
 FRONTIER_SEEDS = 2000

@@ -405,25 +405,28 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixture REBALANCING (The Pile / DoReMi-style source weighting,
-    public: a training corpus is sampled to target per-source shares, not
-    taken at natural proportions). Target here = uniform across sources:
-    every source is down-sampled to the smallest source's count,
-    keep_rate(source) = n_min / n_source, applied as the repo's
-    deterministic md5 draw — reproducible, and the oracle closed-form.
-    Output: kept docs with their source's rate and the draw that kept them.
+    """Domain-mixture REBALANCING (The Pile / DoReMi-style component
+    weighting, public: a training corpus is sampled to target per-component
+    shares, not taken at natural proportions). Mixture component here =
+    lang, the skewed dimension of this corpus (en has ~3.4× the smallest
+    component's mass; the synthetic `source` column is exactly uniform, so
+    keying on it would be a no-op). Target = uniform: every component is
+    down-sampled to the smallest one's count, keep_rate(lang) =
+    n_min / n_lang, applied as the repo's deterministic md5 draw —
+    reproducible, and the oracle closed-form. Output: kept docs with their
+    component's rate and the draw that kept them.
 
-    Scale shape: one tiny partial-agg on source (dozens of rows at 100 TB)
-    broadcast back over the scan; the corpus itself is filtered scan-side
-    with ZERO corpus shuffles — exactly how a mixture pass must run at
-    scale."""
+    Scale shape: one tiny partial-agg on the component key (dozens of rows
+    at 100 TB) broadcast back over the scan; the corpus itself is filtered
+    scan-side with ZERO corpus shuffles — exactly how a mixture pass must
+    run at scale."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count("*").alias("n_source"))
-    n_min = counts.agg(F.min("n_source").alias("n_min"))
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    n_min = counts.agg(F.min("n_lang").alias("n_min"))
     rates = counts.crossJoin(F.broadcast(n_min)).select(
-        "source",
-        "n_source",
-        F.round(F.col("n_min") / F.col("n_source"), 6).alias("keep_rate"),
+        "lang",
+        "n_lang",
+        F.round(F.col("n_min") / F.col("n_lang"), 6).alias("keep_rate"),
     )
     draw = F.round(
         (
@@ -442,10 +445,10 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        docs.select("doc_id", "source", draw.alias("draw"))
-        .join(F.broadcast(rates), "source")
+        docs.select("doc_id", "lang", draw.alias("draw"))
+        .join(F.broadcast(rates), "lang")
         .filter(F.col("draw") < F.col("keep_rate"))
-        .select("doc_id", "source", "n_source", "keep_rate", "draw")
+        .select("doc_id", "lang", "n_lang", "keep_rate", "draw")
     )
 
 
@@ -621,4 +624,36 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tokens_per_word"
             ),
         )
+    )
+
+
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOMAIN document cap (the FineWeb/RefinedWeb anti-spam shaping
+    step, public: no single domain may dominate the corpus, so each keeps
+    only its top-K documents by quality). K = 15 here; rank = quality score
+    (text_quality_score's exact arithmetic) descending, doc_id ascending as
+    the deterministic tie-break. Output: the surviving docs with their
+    in-domain rank.
+
+    Scale shape: ONE hash-partitioned window per source, executed as
+    WindowGroupLimit (rank is computed only until K is exceeded — no full
+    per-domain sort materializes); domains are the natural partition key, so
+    the shuffle is the minimum any per-domain policy needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_stop = F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|to|and)\b"))
+    avg_wlen = (F.col("n_chars") - (n_words - 1)) / n_words
+    score = F.round(
+        (1.0 - n_stop / n_words) * F.least(F.lit(1.0), avg_wlen / 8.0), 6
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", score.alias("quality_score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 15)
+        .select("doc_id", "source", "quality_score", F.col("rk").cast("long").alias("rk"))
     )

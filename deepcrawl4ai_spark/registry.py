@@ -1804,6 +1804,33 @@ _q("dedup_recall_minhash16", D.dedup_recall_minhash16, _recall_minhash16_sql())
 
 
 _q(
+    "sample_source_cap",
+    X.sample_source_cap,
+    """
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) AS n_stop
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source,
+             round((CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_words)
+                   * least(CAST(1.0 AS DOUBLE),
+                           (CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words)
+                           / 8.0), 6) AS quality_score
+      FROM t
+    )
+    SELECT doc_id, source, quality_score, rk FROM (
+      SELECT doc_id, source, quality_score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality_score DESC, doc_id ASC) AS rk
+      FROM s
+    ) WHERE rk <= 15
+    """,
+)
+
+_q(
     "dedup_substring_apply",
     D.dedup_substring_apply,
     """
@@ -2093,23 +2120,22 @@ _q(
     "sample_domain_mix",
     X.sample_domain_mix,
     """
-    WITH c AS (SELECT source, count(*) AS n_source FROM documents
-               GROUP BY source),
-    m AS (SELECT min(n_source) AS n_min FROM c),
+    WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+    m AS (SELECT min(n_lang) AS n_min FROM c),
     r AS (
-      SELECT source, n_source,
-             round(CAST(n_min AS DOUBLE) / n_source, 6) AS keep_rate
+      SELECT lang, n_lang,
+             round(CAST(n_min AS DOUBLE) / n_lang, 6) AS keep_rate
       FROM c CROSS JOIN m
     ),
     d AS (
-      SELECT doc_id, source,
+      SELECT doc_id, lang,
              round((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),
                                          1, 8)) AS BIGINT) % 10000)
                    / CAST(10000.0 AS DOUBLE), 6) AS draw
       FROM documents
     )
-    SELECT doc_id, d.source, n_source, keep_rate, draw
-    FROM d JOIN r USING (source) WHERE draw < keep_rate
+    SELECT doc_id, d.lang, n_lang, keep_rate, draw
+    FROM d JOIN r USING (lang) WHERE draw < keep_rate
     """,
 )
 

@@ -141,6 +141,9 @@ CHECKS = {
     # pointed at corpus self-duplicates — keeper election and dup filter are
     # partial aggs on the shingle hash, the word anti-join never pairs docs
     "dedup_substring_apply": ["HashAggregate", "Batched: true", "!CartesianProduct"],
+    # per-domain cap: exactly one WindowGroupLimit on the source key;
+    # mixture rebalancing: tiny broadcast rate dim over the scan-side draw
+    "sample_source_cap": ["WindowGroupLimit", "Batched: true"],
 }
 
 
