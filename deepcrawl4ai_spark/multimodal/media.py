@@ -436,3 +436,70 @@ def extract_structured(docs: DataFrame, field_names: list[str],
             )
 
     return docs.select("doc_id", "text").mapInPandas(_extract, EXTRACT_SCHEMA)
+
+
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """Perceptual-hash near-dup for the multimodal family — the second
+    registered CORRECTNESS row beyond media_features: sign-quantize the 16
+    stub features into a 16-bit signature (the pHash shape: transform →
+    sign bits; the deterministic stub featurizer stands in for the real
+    DCT/embedding exactly as in extract_features), band it 4×4 bits
+    (pigeonhole: any hamming ≤ 3 pair shares an untouched band — 100%
+    recall), equi-join candidates on (band, bucket), verify
+    bit_count(xor) ≤ 3. Output: (ref1, ref2, hamming) candidate-verified
+    pairs. The synthetic corpus has no planted dups, so every pair IS the
+    banding+verify arithmetic — checked against an independent driver-side
+    recomputation (the media_features oracle pattern).
+
+    Scale shape: featurize = Arrow-batched mapInPandas; signature, band
+    explode, band equi-join and hamming verify are pure JVM SQL — the
+    dedup_simhash_banded plan pointed at media embeddings. No pair space
+    outside band buckets."""
+    media = synth_media_df(spark, 256)
+    feats = extract_features(media, decode_stub=True)
+    sig = None
+    for b in range(16):
+        term = F.when(F.col("feature")[b] > 0, F.lit(1 << b)).otherwise(0)
+        sig = term if sig is None else sig + term
+    s = feats.select("media_ref", sig.cast("long").alias("phash"))
+    bands = s.select(
+        "media_ref",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (F.shiftright(F.col("phash"), 4 * i) % 16)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "media_ref", "phash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.media_ref") < F.col("b.media_ref")),
+        )
+        .select(
+            F.col("a.media_ref").alias("ref1"),
+            F.col("a.phash").alias("h1"),
+            F.col("b.media_ref").alias("ref2"),
+            F.col("b.phash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.select("ref1", "ref2", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )

@@ -1239,6 +1239,49 @@ from deepcrawl4ai_spark.multimodal import media as MM  # noqa: E402
 
 _q("media_features", MM.media_features, _media_features_oracle())
 
+
+def _media_phash_oracle(n: int = 256) -> str:
+    """Driver-side recomputation of the pHash banding+verify output as a
+    VALUES literal (the _media_features_oracle pattern): 16-bit sign hash
+    from the seeded-RNG features, 4×4-bit band collision, hamming ≤ 3.
+    Independent straight-line Python — none of the distributed path (Arrow
+    featurize, band explode, equi-join) is reused."""
+    import hashlib as _hl
+
+    import numpy as _np
+
+    sigs = []
+    for i in range(n):
+        h = _hl.sha1(f"media:{i}".encode()).digest()
+        payload = (h * (4 + h[1] % 8))[: 64 + h[2]]
+        seed = int.from_bytes(_hl.sha1(payload).digest()[:4], "big")
+        feats = (
+            _np.random.default_rng(seed).standard_normal(16).astype(_np.float32)
+        )
+        sig = sum((1 << b) for b in range(16) if float(feats[b]) > 0)
+        sigs.append((f"media://synth/{i}", sig))
+    sigs.sort()  # lexicographic ref order = the join's ref1 < ref2
+    rows = []
+    for x in range(len(sigs)):
+        r1, h1 = sigs[x]
+        for y in range(x + 1, len(sigs)):
+            r2, h2 = sigs[y]
+            if not any(
+                (h1 >> (4 * b)) % 16 == (h2 >> (4 * b)) % 16 for b in range(4)
+            ):
+                continue
+            ham = bin(h1 ^ h2).count("1")
+            if ham <= 3:
+                rows.append(f"('{r1}', '{r2}', {ham})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(ref1, ref2, hamming)"
+    )
+
+
+_q("media_phash_dedup", MM.media_phash_dedup, _media_phash_oracle())
+
 _q(
     "c2_dynamic_pruning",
     X.c2_dynamic_pruning,

@@ -144,6 +144,9 @@ CHECKS = {
     # per-domain cap: exactly one WindowGroupLimit on the source key;
     # mixture rebalancing: tiny broadcast rate dim over the scan-side draw
     "sample_source_cap": ["WindowGroupLimit", "Batched: true"],
+    # media pHash near-dup: Arrow-batched featurize, then the banded-join
+    # plan (simhash_banded shape) — never an unbanded media×media pair space
+    "media_phash_dedup": ["MapInPandas", "!CartesianProduct"],
 }
 
 
