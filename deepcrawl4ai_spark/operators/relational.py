@@ -426,3 +426,56 @@ def a8_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("purchase", F.lit(0)).alias("purchase"),
         )
     )
+
+
+def a10_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion FUNNEL over the event stream (the classic
+    behavioral-analytics shape): per user, first 'view', then the first
+    'click' within 24h AFTER that view, then the first 'purchase' within
+    24h after that click. funnel_step = how deep the user got (0-3).
+    Timestamps are TIMESTAMP_NTZ — pure interval arithmetic, no epoch
+    casts.
+
+    Scale shape: three user-keyed partial-agg min() passes over
+    scan-filtered slices, chained by broadcast-joinable per-user 1-row
+    frames; at 100 TB each stage is one bounded shuffle on user_id and the
+    event scan is pruned to the step's event_type at the parquet reader."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("tv"))
+            & (F.col("ts") <= F.col("tv") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("tc"))
+            & (F.col("ts") <= F.col("tc") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    base = ev.select("user_id").distinct()
+    step = (
+        F.when(F.col("tv").isNull(), 0)
+        .when(F.col("tc").isNull(), 1)
+        .when(F.col("tp").isNull(), 2)
+        .otherwise(3)
+    )
+    return (
+        base.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", step.cast("long").alias("funnel_step"))
+    )

@@ -657,3 +657,48 @@ def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 15)
         .select("doc_id", "source", "quality_score", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document KEYWORD extraction by tf-idf (the classic salience
+    score, public): tf = in-doc count, idf = log2(N / df) with df = number
+    of docs containing the word; top-3 words per doc, ties broken
+    lexicographically. Output: (doc_id, word, tf, tfidf, rk).
+
+    Scale shape: one (doc, word) partial-agg shuffle builds tf; df is a
+    word-keyed partial agg over it (vocab-bounded → broadcast back); N is a
+    1-row broadcast; the top-k is a WindowGroupLimit per doc — never a full
+    per-doc sort, no pair space."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            (F.col("tf") * F.log2(F.col("n_docs") / F.col("df"))).alias("tfidf_raw"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tfidf_raw").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round("tfidf_raw", 6).alias("tfidf"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

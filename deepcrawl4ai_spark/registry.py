@@ -1847,6 +1847,62 @@ _q("dedup_recall_minhash16", D.dedup_recall_minhash16, _recall_minhash16_sql())
 
 
 _q(
+    "text_tfidf_topk",
+    X.text_tfidf_topk,
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tf.word, tf,
+             tf * log2(CAST(n_docs AS DOUBLE) / df) AS tfidf_raw
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, round(tfidf_raw, 6) AS tfidf, rk FROM (
+      SELECT doc_id, word, tf, tfidf_raw,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_raw DESC, word ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+
+_q(
+    "a10_event_funnel",
+    R.a10_event_funnel,
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(ts) AS tc FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts > tv
+        AND ts <= tv + INTERVAL 24 HOURS
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(ts) AS tp FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts > tc
+        AND ts <= tc + INTERVAL 24 HOURS
+      GROUP BY e.user_id
+    )
+    SELECT b.user_id,
+           CASE WHEN tv IS NULL THEN 0
+                WHEN tc IS NULL THEN 1
+                WHEN tp IS NULL THEN 2
+                ELSE 3 END AS funnel_step
+    FROM (SELECT DISTINCT user_id FROM events) b
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+)
+
+_q(
     "sample_source_cap",
     X.sample_source_cap,
     """

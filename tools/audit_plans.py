@@ -147,6 +147,11 @@ CHECKS = {
     # media pHash near-dup: Arrow-batched featurize, then the banded-join
     # plan (simhash_banded shape) — never an unbanded media×media pair space
     "media_phash_dedup": ["MapInPandas", "!CartesianProduct"],
+    # tf-idf keywords: tf/df partial aggs, vocab dim broadcast back, top-k
+    # group-limited; funnel: event_type predicates reach the parquet scan,
+    # every stage a user-keyed partial agg
+    "text_tfidf_topk": ["WindowGroupLimit", "BroadcastHashJoin", "HashAggregate"],
+    "a10_event_funnel": ["PushedFilters", "HashAggregate", "!CartesianProduct"],
 }
 
 
