@@ -2513,6 +2513,20 @@ _DRIVER_WINDOW = [
     "dedup_substring_spans",
     "sample_domain_mix",
     "bpe_encode",
+    # late r05 second batch: ExactSubstr cut, PQ search + its recall row,
+    # the 16-perm recall lever, per-domain cap, media pHash near-dup,
+    # tf-idf keywords, event funnel; demoted to make room (each family
+    # keeps an in-window representative, all rows stay in CORRECTNESS_FULL):
+    # dedup_exact, c1_interleave_stats, tpch_q3, a1_success_fail_counts,
+    # j1_stream_dedup, o2_round_budget, r1_dynamic_rate_limit, pack_sequences
+    "dedup_substring_apply",
+    "ann_pq_topk",
+    "ann_recall_pq",
+    "dedup_recall_minhash16",
+    "sample_source_cap",
+    "media_phash_dedup",
+    "text_tfidf_topk",
+    "a10_event_funnel",
     # registered in r04 past the 50-entry cap (green in CORRECTNESS_FULL_r04)
     # — rotated in; demoted to make room: a6_queue_length, j4_broadcast_lookup,
     # p1_url_host, p7_status_color, p8_status_convert, dedup_simhash (each
@@ -2534,20 +2548,14 @@ _DRIVER_WINDOW = [
     "a9_value_percentiles",
     "text_gopher_rules",
     "tpch_q1",
-    "tpch_q3",
     "ann_kmeans_update",
     # §2 / scale-path representatives (long-stable, r02+r03-green)
-    "a1_success_fail_counts",
-    "r1_dynamic_rate_limit",
     "r8_retry_backoff",
     "o1_priority_topk",
-    "o2_round_budget",
     "t8_due_release",
-    "j1_stream_dedup",
     "j3_exact_antijoin",
     "p1_url_normalize",
     "p5_external_link_filter",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_simhash_banded",
@@ -2555,8 +2563,6 @@ _DRIVER_WINDOW = [
     "dedup_clusters_lp",
     "ann_ivf_topk",
     "ann_lsh_topk",
-    "pack_sequences",
-    "c1_interleave_stats",
     "c6_media_extraction",
     "c7_css_selectors",
 ]
