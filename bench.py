@@ -73,6 +73,10 @@ EXTRAS = [
     "ann_pq_topk",
     "ann_recall_pq",
     "dedup_recall_minhash16",
+    "sample_source_cap",
+    "media_phash_dedup",
+    "text_tfidf_topk",
+    "a10_event_funnel",
 ]
 
 FRONTIER_SEEDS = 2000
