@@ -479,3 +479,33 @@ def a10_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", step.cast("long").alias("funnel_step"))
     )
+
+
+def a11_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERTABLE ROLLUP (the TimescaleDB continuous-aggregate shape,
+    public): the raw event hypertable rolled up into fixed 6-hour time
+    buckets × event_type — count, sum and max of value per cell. The
+    canonical time-series downsample every monitoring store materializes.
+
+    Scale shape: one partial-agg shuffle on (bucket, event_type); the
+    bucket key is date_trunc arithmetic computed scan-side, so at 100 TB
+    this is the cheapest possible rollup (map-side combine does most of
+    the work; a real hypertable would also partition-prune on the bucket).
+    TIMESTAMP_NTZ-safe: hour-of-day arithmetic, no epoch casts."""
+    ev = load_table(spark, sf_dir, "events")
+    # bucket emitted as its canonical string form (timezone-free by
+    # construction — the NTZ-safe representation both engines agree on)
+    bucket = F.concat(
+        F.date_format("ts", "yyyy-MM-dd "),
+        F.lpad(((F.hour("ts") / 6).cast("int") * 6).cast("string"), 2, "0"),
+        F.lit(":00:00"),
+    )
+    return (
+        ev.select(bucket.alias("bucket6h"), "event_type", "value")
+        .groupBy("bucket6h", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )

@@ -133,3 +133,32 @@ def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN — the interval-predicate join Spark SQL has no native
+    operator for (the as-of join's two-sided sibling): for every 'error'
+    event, count the same user's 'signup' events inside [ts − 1h, ts + 1h].
+    The honest distributed shape is equi-join on the bounding key (user_id)
+    + range predicate, so each probe touches only its user's events — at
+    100 TB the pair space is bounded by per-user event counts, never the
+    cross product. TIMESTAMP_NTZ-safe interval arithmetic throughout.
+
+    Output: (event_id, user_id, n_nearby_signups) for every error event."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    )
+    joined = errors.join(
+        signups,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("s_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOURS"))
+        & (F.col("s_ts") <= F.col("e_ts") + F.expr("INTERVAL 1 HOURS")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("s_ts").alias("n_nearby_signups")
+    )

@@ -1847,6 +1847,43 @@ _q("dedup_recall_minhash16", D.dedup_recall_minhash16, _recall_minhash16_sql())
 
 
 _q(
+    "j6_range_join",
+    TM.range_join_events,
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts AS e_ts FROM events
+      WHERE event_type = 'error'
+    ),
+    s AS (
+      SELECT user_id AS s_user, ts AS s_ts FROM events
+      WHERE event_type = 'signup'
+    )
+    SELECT event_id, user_id, count(s_ts) AS n_nearby_signups
+    FROM e LEFT JOIN s
+      ON user_id = s_user
+     AND s_ts >= e_ts - INTERVAL 1 HOUR
+     AND s_ts <= e_ts + INTERVAL 1 HOUR
+    GROUP BY event_id, user_id
+    """,
+)
+
+_q(
+    "a11_hypertable_rollup",
+    R.a11_hypertable_rollup,
+    """
+    SELECT strftime(ts, '%Y-%m-%d ')
+             || lpad(CAST((CAST(hour(ts) AS INT) // 6) * 6 AS VARCHAR), 2, '0')
+             || ':00:00' AS bucket6h,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value,
+           round(max(value), 6) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+_q(
     "text_tfidf_topk",
     X.text_tfidf_topk,
     """

@@ -152,6 +152,10 @@ CHECKS = {
     # every stage a user-keyed partial agg
     "text_tfidf_topk": ["WindowGroupLimit", "BroadcastHashJoin", "HashAggregate"],
     "a10_event_funnel": ["PushedFilters", "HashAggregate", "!CartesianProduct"],
+    # range join: equi on the bounding key + interval predicate — never a
+    # pure cross product; hypertable rollup is one scan-side-keyed partial agg
+    "j6_range_join": ["PushedFilters", "HashAggregate", "!CartesianProduct"],
+    "a11_hypertable_rollup": ["HashAggregate", "Batched: true"],
 }
 
 
