@@ -2564,6 +2564,11 @@ _DRIVER_WINDOW = [
     "media_phash_dedup",
     "text_tfidf_topk",
     "a10_event_funnel",
+    # final late-r05 pair: range join + hypertable rollup; demoted:
+    # dedup_minhash_lsh (verified twin stays), text_gopher_rules (family
+    # covered by repetition/pii/unigram rows)
+    "j6_range_join",
+    "a11_hypertable_rollup",
     # registered in r04 past the 50-entry cap (green in CORRECTNESS_FULL_r04)
     # — rotated in; demoted to make room: a6_queue_length, j4_broadcast_lookup,
     # p1_url_host, p7_status_color, p8_status_convert, dedup_simhash (each
@@ -2583,7 +2588,6 @@ _DRIVER_WINDOW = [
     "c2_pruning_filter",
     "c7_selector_inference",
     "a9_value_percentiles",
-    "text_gopher_rules",
     "tpch_q1",
     "ann_kmeans_update",
     # §2 / scale-path representatives (long-stable, r02+r03-green)
@@ -2593,7 +2597,6 @@ _DRIVER_WINDOW = [
     "j3_exact_antijoin",
     "p1_url_normalize",
     "p5_external_link_filter",
-    "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_simhash_banded",
     "dedup_embedding_lsh",
