@@ -77,6 +77,9 @@ EXTRAS = [
     "media_phash_dedup",
     "text_tfidf_topk",
     "a10_event_funnel",
+    "j6_range_join",
+    "a11_hypertable_rollup",
+    "pack_sequences_bpe",
 ]
 
 FRONTIER_SEEDS = 2000

@@ -702,3 +702,34 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing with REAL tokenizer budgets — the composition a production
+    pipeline actually runs (tokenize, then pack): pack_sequences' greedy
+    per-lang shard assignment, but the token count per doc is bpe_encode's
+    post-merge BPE token count instead of the whitespace proxy. Budget
+    stays 4096 tokens/shard.
+
+    Scale shape: the encode side is one corpus shuffle + broadcast dict +
+    per-doc agg (bpe_encode); the pack side joins that per-doc 1-row frame
+    back on doc_id and runs ONE lang-partitioned running-sum window —
+    exactly pack_sequences' plan with the token source swapped."""
+    from pyspark.sql import Window as W
+
+    budget = 4096
+    docs = load_table(spark, sf_dir, "documents")
+    tok = bpe_encode(spark, sf_dir).select("doc_id", "n_tokens")
+    base = docs.select("doc_id", "lang").join(tok, "doc_id")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("int").alias("shard"),
+    )

@@ -2184,6 +2184,20 @@ _q("bpe_merges", X.bpe_merges, _bpe_sql())
 _q("bpe_encode", X.bpe_encode, _bpe_sql(encode=True))
 
 _q(
+    "pack_sequences_bpe",
+    X.pack_sequences_bpe,
+    f"""
+    WITH enc AS ({_bpe_sql(encode=True)})
+    SELECT d.doc_id, d.lang, enc.n_tokens,
+           CAST(floor((sum(enc.n_tokens)
+                         OVER (PARTITION BY d.lang ORDER BY d.doc_id
+                               ROWS UNBOUNDED PRECEDING)
+                       - enc.n_tokens) / 4096) AS INT) AS shard
+    FROM documents d JOIN enc ON d.doc_id = enc.doc_id
+    """,
+)
+
+_q(
     "dedup_paragraphs_apply",
     D.dedup_paragraphs_apply,
     """
@@ -2569,6 +2583,9 @@ _DRIVER_WINDOW = [
     # covered by repetition/pii/unigram rows)
     "j6_range_join",
     "a11_hypertable_rollup",
+    # tokenize-then-pack composition; demoted: p5_external_link_filter
+    # (P family keeps p1_url_normalize; row stays in CORRECTNESS_FULL)
+    "pack_sequences_bpe",
     # registered in r04 past the 50-entry cap (green in CORRECTNESS_FULL_r04)
     # — rotated in; demoted to make room: a6_queue_length, j4_broadcast_lookup,
     # p1_url_host, p7_status_color, p8_status_convert, dedup_simhash (each
@@ -2596,7 +2613,6 @@ _DRIVER_WINDOW = [
     "t8_due_release",
     "j3_exact_antijoin",
     "p1_url_normalize",
-    "p5_external_link_filter",
     "dedup_minhash_verified",
     "dedup_simhash_banded",
     "dedup_embedding_lsh",

@@ -156,6 +156,9 @@ CHECKS = {
     # pure cross product; hypertable rollup is one scan-side-keyed partial agg
     "j6_range_join": ["PushedFilters", "HashAggregate", "!CartesianProduct"],
     "a11_hypertable_rollup": ["HashAggregate", "Batched: true"],
+    # tokenize-then-pack composition: the per-doc token frame joins back on
+    # doc_id and ONE lang-partitioned running-sum window assigns shards
+    "pack_sequences_bpe": ["Window", "!CartesianProduct"],
 }
 
 
