@@ -609,8 +609,13 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
+    # LEFT join + char-count fallback: encoding a corpus the vocab wasn't
+    # trained on must never silently drop OOV words — they tokenize to one
+    # symbol per character (BPE's base-alphabet floor). A no-op here (the
+    # dict covers this corpus by construction) but the real inference path.
     return (
-        words.join(F.broadcast(tok_dict), "word")
+        words.join(F.broadcast(tok_dict), "word", "left")
+        .withColumn("n_tok", F.coalesce(F.col("n_tok"), F.length("word")))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),

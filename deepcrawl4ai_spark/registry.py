@@ -2165,11 +2165,12 @@ def _bpe_sql(n_merges: int = 8, encode: bool = False) -> str:
       FROM v{n_merges}
     )
     SELECT doc_id, count(*) AS n_words,
-           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS tokens_per_word
+           CAST(sum(COALESCE(n_tok, length(word))) AS BIGINT) AS n_tokens,
+           round(CAST(sum(COALESCE(n_tok, length(word))) AS DOUBLE) / count(*), 6)
+             AS tokens_per_word
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
           FROM documents)
-    JOIN tok USING (word)
+    LEFT JOIN tok USING (word)
     GROUP BY doc_id"""
         return "".join(parts) + final
     union = "\n    UNION ALL ".join(
