@@ -278,7 +278,13 @@ def ann_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = assigned.groupBy("cid").agg(F.count("*").alias("n_assigned"))
     return (
         expl.groupBy("cid", "dim")
-        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"))
+        # + 0.0 normalizes IEEE -0.0 → +0.0 (a near-zero cluster mean can
+        # round to negative zero on one engine and positive on the other)
+        .agg(
+            (F.round(F.avg(F.col("val").cast("double")), 4) + F.lit(0.0)).alias(
+                "centroid_val"
+            )
+        )
         .join(counts, "cid")
         .select("cid", "dim", "centroid_val", "n_assigned")
     )

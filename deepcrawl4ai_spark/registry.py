@@ -1534,7 +1534,7 @@ _q(
       FROM av, generate_series(1, 64) AS t(i)
     ),
     counts AS (SELECT cid, count(*) AS n_assigned FROM assigned GROUP BY cid)
-    SELECT expl.cid, dim, round(avg(val), 4) AS centroid_val, n_assigned
+    SELECT expl.cid, dim, round(avg(val), 4) + 0.0 AS centroid_val, n_assigned
     FROM expl JOIN counts ON expl.cid = counts.cid
     GROUP BY expl.cid, dim, n_assigned
     """,
