@@ -55,14 +55,29 @@ def main() -> int:
     from deepcrawl4ai_spark.registry import QUERIES, ORACLES
     from deepcrawl4ai_spark.session import get_spark
 
+    global SF_DIR
     argv = sys.argv[1:]
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv):
-            print("usage: check_correctness.py [--json OUT.json] [name ...]")
+            print(
+                "usage: check_correctness.py [--json OUT.json]"
+                " [--sf-dir DIR] [name ...]"
+            )
             return 2
         json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    # tri-SF robustness sweeps (late r5): the same gate at any scale factor
+    if "--sf-dir" in argv:
+        i = argv.index("--sf-dir")
+        if i + 1 >= len(argv):
+            print(
+                "usage: check_correctness.py [--json OUT.json]"
+                " [--sf-dir DIR] [name ...]"
+            )
+            return 2
+        SF_DIR = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     names = argv or list(QUERIES)
     results: dict[str, dict] = {}
