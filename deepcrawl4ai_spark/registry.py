@@ -2138,7 +2138,8 @@ def _bpe_sql(n_merges: int = 8, encode: bool = False) -> str:
       FROM v{i - 1}
     ),
     p{i} AS (
-      SELECT syms[i] AS a, syms[i + 1] AS b, sum(cnt) AS pair_cnt
+      SELECT syms[i] AS a, syms[i + 1] AS b,
+             CAST(sum(cnt) AS BIGINT) AS pair_cnt
       FROM (SELECT syms, cnt,
                    unnest(CASE WHEN len(syms) >= 2
                           THEN generate_series(1, len(syms) - 1)
