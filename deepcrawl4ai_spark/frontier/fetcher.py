@@ -91,18 +91,23 @@ _FETCH_PER_HOST = int(_os.environ.get("CRAWL_FETCH_HOST_CONCURRENCY", "0"))
 # fixed semaphore-slot table (host-hash → slot) so per-host gating stays
 # O(1) memory at 10^7 hosts; a collision only makes the gate stricter
 _HOST_SEM_SLOTS = 4096
-_HOST_SEMS: dict[int, tuple[int, object]] = {}
+# keyed by (slot, width) — a mid-run per_host_concurrency change must NOT
+# swap a slot's semaphore out from under threads still holding permits
+# (they would release into the discarded object while new requests draw
+# from a fresh full one, transiently exceeding the cap). Distinct widths
+# per process are few, so memory stays O(slots × widths-used).
+_HOST_SEMS: dict[tuple[int, int], object] = {}
 _HOST_SEM_LOCK = _threading.Lock()
 
 
 def _host_semaphore(host: str, width: int):
-    slot = hash(host) % _HOST_SEM_SLOTS
+    key = (hash(host) % _HOST_SEM_SLOTS, width)
     with _HOST_SEM_LOCK:
-        cur = _HOST_SEMS.get(slot)
-        if cur is None or cur[0] != width:
-            cur = (width, _threading.Semaphore(width))
-            _HOST_SEMS[slot] = cur
-        return cur[1]
+        sem = _HOST_SEMS.get(key)
+        if sem is None:
+            sem = _threading.Semaphore(width)
+            _HOST_SEMS[key] = sem
+        return sem
 
 
 # --- executor-local session pool (F7) ----------------------------------------

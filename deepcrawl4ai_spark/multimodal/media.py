@@ -179,7 +179,12 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG0
     from deepcrawl4ai_spark.sources import blobstore as B
 
     media = synth_media_df(spark, 256)
-    path = os.path.join(tempfile.gettempdir(), "dc4ai_media_features_blobs")
+    # per-session path (keyed on applicationId): concurrent sessions (pytest
+    # beside bench.py, tri-SF sweeps) must never race on the overwrite write
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dc4ai_media_features_blobs_{spark.sparkContext.applicationId}",
+    )
     B.put_blobs(media.select("media_ref", "payload"), path, part_bytes=64)
     whole = (
         B.read_blobs(spark, path)

@@ -168,10 +168,14 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_ok",
         )
         # both the funnel-counts agg and the manifest read this frame; at
-        # scale a real run materializes it once (checkpoint between stages)
-        # — persist is the in-query equivalent, without it Catalyst may
-        # recompute the whole funnel per branch
-        .persist()
+        # scale a real run materializes it once (checkpoint between stages).
+        # localCheckpoint, NOT persist (ADVICE r5): persist pins the frame
+        # in the CacheManager until an explicit unpersist that no caller
+        # can issue (the returned manifest still reads it lazily), leaking
+        # one cached DataFrame per invocation across a long session; a
+        # localCheckpoint's blocks are reclaimed by the ContextCleaner as
+        # soon as the caller drops the result.
+        .localCheckpoint()
     )
     final_ok = F.col("para_sv") & F.col("sample_ok")
 

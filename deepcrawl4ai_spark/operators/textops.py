@@ -530,7 +530,13 @@ def _bpe_learn(docs: DataFrame, n_merges: int = 8):
     1-row best-pair are MATERIALIZED each iteration, so plan depth stays
     constant and no iteration recomputes its predecessors (a lazy
     persist/unpersist chain here is quadratic — the parent cache dies
-    before the child runs)."""
+    before the child runs). Superseded vocab generations are released
+    eagerly (ADVICE r5: ~2 checkpoints/iteration × 3 callers per sweep
+    otherwise pile up for the life of a 100-query session); only the
+    returned frames — the merge-table `best` rows and the FINAL vocab —
+    stay checkpointed."""
+    from deepcrawl4ai_spark.frontier.engine import _unpersist_local_checkpoint
+
     vocab = _bpe_word_vocab(docs).localCheckpoint()
     out = None
     for rank in range(1, n_merges + 1):
@@ -548,6 +554,7 @@ def _bpe_learn(docs: DataFrame, n_merges: int = 8):
             .localCheckpoint()
         )
         out = best if out is None else out.unionByName(best)
+        prev_vocab = vocab
         vocab = (
             vocab.crossJoin(F.broadcast(best.select("a", "b")))
             .select(
@@ -563,6 +570,7 @@ def _bpe_learn(docs: DataFrame, n_merges: int = 8):
             )
             .localCheckpoint()
         )
+        _unpersist_local_checkpoint(prev_vocab)
     return out, vocab
 
 
