@@ -80,6 +80,9 @@ EXTRAS = [
     "j6_range_join",
     "a11_hypertable_rollup",
     "pack_sequences_bpe",
+    # r06: separable-regime recall measurements (SF-independent fixture)
+    "ann_recall_clustered",
+    "ann_recall_pq_clustered",
 ]
 
 FRONTIER_SEEDS = 2000

