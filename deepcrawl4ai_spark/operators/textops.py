@@ -522,7 +522,7 @@ def _bpe_pairs(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_learn(docs: DataFrame, n_merges: int = 8):
+def _bpe_learn(docs: DataFrame, n_merges: int = 8, plan_depths: list | None = None):
     """Shared BPE merge loop: returns (merge table, post-merge word→repr
     vocab). One corpus-scale shuffle builds the dict; every iteration after
     that is vocab-bounded. Eager localCheckpoint per step (the repo's
@@ -534,7 +534,17 @@ def _bpe_learn(docs: DataFrame, n_merges: int = 8):
     eagerly (ADVICE r5: ~2 checkpoints/iteration × 3 callers per sweep
     otherwise pile up for the life of a 100-query session); only the
     returned frames — the merge-table `best` rows and the FINAL vocab —
-    stay checkpointed."""
+    stay checkpointed.
+
+    Production merge counts (VERDICT r5 #6): real tokenizers run 10^4–10^5
+    merges; per-iteration cost here is bounded by the VOCAB dict (not the
+    corpus) and plan depth is constant via the checkpoints, so seconds/merge
+    stays flat — tools/bench_bpe.py is the committed evidence at 64 merges.
+    If the dict runs out of adjacent pairs before n_merges (tiny corpora),
+    the loop stops early instead of cross-joining an empty best-pair frame
+    (which would silently EMPTY the vocab). *plan_depths* (test hook):
+    appended with each iteration's pre-checkpoint vocab plan line count —
+    constancy is the truncation proof (tests/test_iterative.py pattern)."""
     from deepcrawl4ai_spark.frontier.engine import _unpersist_local_checkpoint
 
     vocab = _bpe_word_vocab(docs).localCheckpoint()
@@ -553,24 +563,31 @@ def _bpe_learn(docs: DataFrame, n_merges: int = 8):
             )
             .localCheckpoint()
         )
+        if best.isEmpty():
+            break
         out = best if out is None else out.unionByName(best)
         prev_vocab = vocab
-        vocab = (
-            vocab.crossJoin(F.broadcast(best.select("a", "b")))
-            .select(
-                "word",
-                F.replace(
-                    F.col("repr"),
-                    F.concat(
-                        F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")
-                    ),
-                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
-                ).alias("repr"),
-                "cnt",
-            )
-            .localCheckpoint()
+        nxt = vocab.crossJoin(F.broadcast(best.select("a", "b"))).select(
+            "word",
+            F.replace(
+                F.col("repr"),
+                F.concat(
+                    F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")
+                ),
+                F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+            ).alias("repr"),
+            "cnt",
         )
+        if plan_depths is not None:
+            plan_depths.append(
+                len(nxt._jdf.queryExecution().optimizedPlan().toString().splitlines())
+            )
+        vocab = nxt.localCheckpoint()
         _unpersist_local_checkpoint(prev_vocab)
+    if out is None:  # corpus with no adjacent pairs at all (degenerate)
+        out = docs.sparkSession.createDataFrame(
+            [], "merge_rank int, a string, b string, merged string, pair_cnt bigint"
+        )
     return out, vocab
 
 

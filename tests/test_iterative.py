@@ -104,3 +104,43 @@ def test_kmeans_fixpoint_first_step_matches_query_and_converges(spark):
     assert 1 < iters < 25, f"expected convergence, ran {iters}"
     assert len(set(depths[1:])) == 1, depths
     assert cents.count() == one.count()  # no cluster lost
+
+
+def test_bpe_learn_scales_merges_with_constant_plan_depth(spark):
+    """_bpe_learn at a higher merge count (VERDICT r5 #6): the first 8
+    merges of a 24-merge run equal the oracle-checked bpe_merges output
+    (the loop is prefix-stable — each merge depends only on its
+    predecessors), and per-iteration plan depth is constant (the
+    localCheckpoint truncation holds at production-scale merge counts)."""
+    from deepcrawl4ai_spark.operators.textops import _bpe_learn, bpe_merges
+
+    docs = load_table(spark, SF, "documents")
+    want = {
+        r["merge_rank"]: (r["a"], r["b"], r["merged"], r["pair_cnt"])
+        for r in bpe_merges(spark, SF).collect()
+    }
+    depths: list[int] = []
+    out, _vocab = _bpe_learn(docs, n_merges=24, plan_depths=depths)
+    rows = out.collect()
+    assert len(rows) == 24
+    got8 = {
+        r["merge_rank"]: (r["a"], r["b"], r["merged"], r["pair_cnt"])
+        for r in rows
+        if r["merge_rank"] <= 8
+    }
+    assert got8 == want
+    assert len(set(depths)) == 1, depths  # constant from iteration 1
+
+
+def test_bpe_learn_stops_when_pairs_exhausted(spark):
+    """A corpus of single-character words has no adjacent symbol pairs:
+    the loop must stop early with an EMPTY merge table and an intact vocab
+    (not cross-join an empty best frame into an empty vocab)."""
+    from deepcrawl4ai_spark.operators.textops import _bpe_learn
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c a")], "doc_id long, text string"
+    )
+    out, vocab = _bpe_learn(docs, n_merges=8)
+    assert out.count() == 0
+    assert vocab.count() == 3  # the three single-char words survive
