@@ -131,6 +131,14 @@ def main() -> None:
         default=10,
         help="in-partition fan-out width for --transport http",
     )
+    ap.add_argument(
+        "--per-host-concurrency",
+        type=int,
+        default=0,
+        help="instantaneous per-host in-flight cap for --transport http "
+        "(reference max_session_permit semantics, actions.py:254); 0 = off "
+        "(volume politeness via the token budget only)",
+    )
     args = ap.parse_args()
     # must be set before the session so python workers inherit it
     os.environ["CRAWL_FETCH_WORK_MS"] = str(args.fetch_work_ms)
@@ -161,6 +169,8 @@ def main() -> None:
             "base": server.base,
             "concurrency": args.fetch_concurrency,
         }
+        if args.per_host_concurrency > 0:
+            transport["per_host_concurrency"] = args.per_host_concurrency
     try:
         eng = CrawlEngine(
             spark,
@@ -261,6 +271,7 @@ def main() -> None:
             out["wire_exactly_once"] = server.n_requests == popped
             out["wire_delay_ms"] = args.wire_delay_ms
             out["fetch_concurrency"] = args.fetch_concurrency
+            out["per_host_concurrency"] = args.per_host_concurrency
         print(json.dumps(out))
         if args.out:
             with open(args.out, "w") as f:
