@@ -83,6 +83,10 @@ EXTRAS = [
     # r06: separable-regime recall measurements (SF-independent fixture)
     "ann_recall_clustered",
     "ann_recall_pq_clustered",
+    # r06 batch 2: HITS, temperature sampling, HLL accuracy gate
+    "host_hits",
+    "sample_temperature",
+    "a12_distinct_users_hll",
 ]
 
 FRONTIER_SEEDS = 2000

@@ -64,6 +64,123 @@ def _pagerank_step(nodes: DataFrame, e: DataFrame, ranks: DataFrame, n: int) -> 
     )
 
 
+def _hits_half_step(
+    nodes: DataFrame, edges: DataFrame, scores: DataFrame,
+    from_col: str, to_col: str, out_name: str,
+) -> DataFrame:
+    """One HITS half-iteration: propagate *scores* across edges from
+    *from_col* to *to_col*, then L1-normalize — one shuffle (the edge join
+    + partial agg) plus a 1-row total broadcast back over the node set."""
+    raw = (
+        edges.join(scores.withColumnRenamed("host", from_col), from_col)
+        .groupBy(to_col)
+        .agg(F.sum("s").alias("v"))
+    )
+    total = raw.agg(F.sum("v").alias("t"))
+    return (
+        nodes.join(raw, nodes["host"] == raw[to_col], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "host",
+            (F.coalesce(F.col("v"), F.lit(0.0)) / F.col("t")).alias(out_name),
+        )
+    )
+
+
+def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public; 3 unrolled
+    iterations, L1 normalization — the rational-arithmetic variant of the
+    classic L2, chosen so the unrolled DuckDB oracle reproduces the exact
+    doubles) over the same synthetic host link graph as host_pagerank.
+    Complements PageRank in the frontier's link-analysis panel: authority
+    ranks pages worth fetching, hub ranks pages worth re-crawling for
+    outlink discovery (the reference scores URLs statically from sha1;
+    SURVEY §2 O1's upgrade path).
+
+    Scale shape: per iteration exactly two shuffles (edge join + partial
+    agg by dst for authorities, by src for hubs) and two 1-row total
+    aggregates broadcast back — the Pregel shape; no windows, no
+    all-pairs."""
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 10)).alias("src"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 13)).alias("dst"),
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    e = edges.persist()
+    hub = nodes.withColumn("s", F.lit(1.0 / n))
+    for _ in range(ITERATIONS):
+        auth = _hits_half_step(nodes, e, hub, "src", "dst", "a").withColumnRenamed("a", "s")
+        hub = _hits_half_step(nodes, e, auth, "dst", "src", "h").withColumnRenamed("h", "s")
+    out = (
+        auth.withColumnRenamed("s", "auth")
+        .join(hub.withColumnRenamed("s", "hub"), "host")
+        .select("host", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub"))
+    )
+    nodes.unpersist()
+    e.unpersist()
+    return out
+
+
+def hits_fixpoint(
+    edges: DataFrame,
+    max_iters: int = 50,
+    tol: float = 1e-9,
+    plan_depths: list | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Production HITS: the SAME per-iteration plan as host_hits but looped
+    to convergence (sum |Δauth| < tol, cluster-side aggregate), with
+    localCheckpoint() per iteration truncating lineage so plan depth stays
+    constant (the pagerank_fixpoint pattern). Returns (auth, hub, iters)."""
+    from deepcrawl4ai_spark.frontier.engine import _unpersist_local_checkpoint
+
+    edges = edges.distinct()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    e = edges.localCheckpoint()
+    hub = nodes.withColumn("s", F.lit(1.0 / n)).localCheckpoint()
+    auth = None
+    iters = 0
+    for _ in range(max_iters):
+        nxt_auth = _hits_half_step(nodes, e, hub, "src", "dst", "a").withColumnRenamed("a", "s")
+        if plan_depths is not None:
+            plan_depths.append(
+                len(nxt_auth._jdf.queryExecution().optimizedPlan().toString().splitlines())
+            )
+        nxt_auth = nxt_auth.localCheckpoint()
+        nxt_hub = _hits_half_step(nodes, e, nxt_auth, "dst", "src", "h") \
+            .withColumnRenamed("h", "s").localCheckpoint()
+        iters += 1
+        if auth is not None:
+            delta = (
+                nxt_auth.join(auth.withColumnRenamed("s", "old"), "host")
+                .agg(F.sum(F.abs(F.col("s") - F.col("old"))).alias("d"))
+                .head()["d"]
+            )
+        else:
+            delta = None
+        for df in (auth, hub):
+            if df is not None:
+                _unpersist_local_checkpoint(df)
+        auth, hub = nxt_auth, nxt_hub
+        if delta is not None and delta < tol:
+            break
+    for df in (nodes, e):
+        _unpersist_local_checkpoint(df)
+    return auth, hub, iters
+
+
 def pagerank_fixpoint(
     edges: DataFrame,
     max_iters: int = 50,

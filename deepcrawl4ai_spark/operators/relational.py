@@ -411,6 +411,36 @@ def a9_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "p50", "p95", "p99", "n", ok.alias("approx_ok"))
 
 
+def a12_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct cardinality with an in-query accuracy gate (the
+    a9_percentiles_approx pattern applied to COUNT DISTINCT): per event
+    type, `approx_count_distinct` (HyperLogLog++, rsd 0.02 — the sketch
+    every 100-TB dashboard uses: mergeable fixed-size registers, partial
+    map-side aggregation, no exact-distinct shuffle of the key universe)
+    is checked against the exact count inside the query; hll_ok is true
+    iff |approx − exact| ≤ 3·rsd·exact + 1 (a 3-sigma band padded by one
+    for tiny groups). The oracle emits the exact panel with a literal
+    TRUE, so the driver's hash gate fails if the sketch ever drifts
+    outside its advertised error. At 100 TB the exact twin column is
+    dropped and only the sketch runs — same plan shape, bounded memory.
+
+    Plan shape: one groupBy(event_type) computing both aggregates — the
+    exact side is Spark's standard two-phase distinct expansion, the HLL
+    side a fixed-size partial agg; no joins, no windows."""
+    events = load_table(spark, sf_dir, "events")
+    rsd = 0.02
+    panel = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.count("*").alias("n_events"),
+        F.expr(f"approx_count_distinct(user_id, {rsd}D)").alias("_hll"),
+    )
+    ok = (
+        F.abs(F.col("_hll") - F.col("n_exact"))
+        <= F.lit(3.0 * rsd) * F.col("n_exact") + F.lit(1.0)
+    )
+    return panel.select("event_type", "n_exact", "n_events", ok.alias("hll_ok"))
+
+
 def a8_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (beyond the reference): per-user event counts spread across
     fixed event-type columns."""

@@ -452,6 +452,63 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_temperature(spark: SparkSession, sf_dir: str,
+                       alpha: float = 0.3) -> DataFrame:
+    """Temperature-scaled mixture sampling (the published multilingual
+    alpha-sampling step — mC4 / XLM-R, public: component share q_l ∝ p_l^α
+    with α ∈ (0, 1), upweighting tail components without flattening to
+    uniform). Generalizes sample_domain_mix: because q_l/p_l ∝ p_l^(α-1)
+    and the total N cancels, the down-sampling-only rate normalizes to
+    keep_rate(l) = (n_min / n_l)^(1-α) — the smallest component keeps
+    everything (rate 1), the largest is damped by its relative mass to the
+    (1-α) power; α→0 recovers sample_domain_mix's uniform target, α=1 is
+    the natural distribution. α = 0.3 here (XLM-R's production value).
+    The base ratio is rounded to 6dp BEFORE pow on both sides so a 1-ulp
+    libm pow divergence can never cross the rounding boundary. Keep draw =
+    the repo's deterministic md5(doc_id)-derived uniform — reproducible,
+    oracle closed-form.
+
+    Scale shape: identical to sample_domain_mix — one tiny partial-agg on
+    the component key (dozens of rows at 100 TB) broadcast back over the
+    scan; the corpus is filtered scan-side with ZERO corpus shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    n_min = counts.agg(F.min("n_lang").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_lang",
+        F.round(
+            F.pow(
+                F.round(F.col("n_min") / F.col("n_lang"), 6),
+                F.lit(1.0 - alpha),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    draw = F.round(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        )
+        / 10000.0,
+        6,
+    )
+    return (
+        docs.select("doc_id", "lang", draw.alias("draw"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("draw") < F.col("keep_rate"))
+        .select("doc_id", "lang", "n_lang", "keep_rate", "draw")
+    )
+
+
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy (Wenzek et al. 2020, public — the
     perplexity gate every web-corpus pipeline runs before training): score

@@ -2562,6 +2562,81 @@ _q("host_pagerank", G.host_pagerank, """
     SELECT h AS host, round(rank, 6) AS rank FROM r3
     """)
 
+_q("host_hits", G.host_hits, """
+    WITH links AS (
+      SELECT DISTINCT 'h' || CAST(o_custkey % 10 AS VARCHAR) AS src,
+             'h' || CAST(o_orderkey % 13 AS VARCHAR) AS dst
+      FROM orders
+    ),
+    nodes AS (
+      SELECT DISTINCT h FROM (
+        SELECT src AS h FROM links UNION SELECT dst FROM links
+      )
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS (SELECT h, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS s FROM nodes),
+    a1r AS (SELECT l.dst AS h, sum(h0.s) AS v
+            FROM links l JOIN h0 ON l.src = h0.h GROUP BY l.dst),
+    a1 AS (SELECT nodes.h, coalesce(a1r.v, 0) / (SELECT sum(v) FROM a1r) AS s
+           FROM nodes LEFT JOIN a1r ON nodes.h = a1r.h),
+    h1r AS (SELECT l.src AS h, sum(a1.s) AS v
+            FROM links l JOIN a1 ON l.dst = a1.h GROUP BY l.src),
+    h1 AS (SELECT nodes.h, coalesce(h1r.v, 0) / (SELECT sum(v) FROM h1r) AS s
+           FROM nodes LEFT JOIN h1r ON nodes.h = h1r.h),
+    a2r AS (SELECT l.dst AS h, sum(h1.s) AS v
+            FROM links l JOIN h1 ON l.src = h1.h GROUP BY l.dst),
+    a2 AS (SELECT nodes.h, coalesce(a2r.v, 0) / (SELECT sum(v) FROM a2r) AS s
+           FROM nodes LEFT JOIN a2r ON nodes.h = a2r.h),
+    h2r AS (SELECT l.src AS h, sum(a2.s) AS v
+            FROM links l JOIN a2 ON l.dst = a2.h GROUP BY l.src),
+    h2 AS (SELECT nodes.h, coalesce(h2r.v, 0) / (SELECT sum(v) FROM h2r) AS s
+           FROM nodes LEFT JOIN h2r ON nodes.h = h2r.h),
+    a3r AS (SELECT l.dst AS h, sum(h2.s) AS v
+            FROM links l JOIN h2 ON l.src = h2.h GROUP BY l.dst),
+    a3 AS (SELECT nodes.h, coalesce(a3r.v, 0) / (SELECT sum(v) FROM a3r) AS s
+           FROM nodes LEFT JOIN a3r ON nodes.h = a3r.h),
+    h3r AS (SELECT l.src AS h, sum(a3.s) AS v
+            FROM links l JOIN a3 ON l.dst = a3.h GROUP BY l.src),
+    h3 AS (SELECT nodes.h, coalesce(h3r.v, 0) / (SELECT sum(v) FROM h3r) AS s
+           FROM nodes LEFT JOIN h3r ON nodes.h = h3r.h)
+    SELECT a3.h AS host, round(a3.s, 6) AS auth, round(h3.s, 6) AS hub
+    FROM a3 JOIN h3 ON a3.h = h3.h
+    """)
+
+_q(
+    "sample_temperature",
+    X.sample_temperature,
+    """
+    WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+    m AS (SELECT min(n_lang) AS n_min FROM c),
+    r AS (
+      SELECT lang, n_lang,
+             round(pow(round(CAST(n_min AS DOUBLE) / n_lang, 6),
+                       CAST(0.7 AS DOUBLE)), 6) AS keep_rate
+      FROM c CROSS JOIN m
+    ),
+    d AS (
+      SELECT doc_id, lang,
+             round((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'),
+                                         1, 8)) AS BIGINT) % 10000)
+                   / CAST(10000.0 AS DOUBLE), 6) AS draw
+      FROM documents
+    )
+    SELECT doc_id, d.lang, n_lang, keep_rate, draw
+    FROM d JOIN r USING (lang) WHERE draw < keep_rate
+    """,
+)
+
+_q(
+    "a12_distinct_users_hll",
+    R.a12_distinct_users_hll,
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_exact,
+           count(*) AS n_events, TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    """,
+)
+
 # --- temporal family (as-of join, sessionization, dataset split) -----------
 
 _q(
@@ -2688,6 +2763,16 @@ SCALE_BASELINES: dict[str, str] = {
 }
 
 _DRIVER_WINDOW = [
+    # new r06 batch 2: HITS hubs/authorities (link-analysis family beside
+    # host_pagerank), temperature/alpha mixture sampling (mC4/XLM-R), and
+    # the HLL distinct-cardinality accuracy gate. Demoted to make room:
+    # c7_css_selectors (family keeps c7_selector_inference),
+    # dedup_embedding_cosine + ann_topk_cosine (tagged all-pairs baselines;
+    # scale twins dedup_embedding_lsh / ann_ivf_topk / ann_lsh_topk stay
+    # in-window); all three demoted rows stay in CORRECTNESS_FULL.
+    "host_hits",
+    "sample_temperature",
+    "a12_distinct_users_hll",
     # new r06: recall measured on the SEPARABLE clustered fixture (IVF
     # probe-1/probe-2 with an in-query 0.8 floor; PQ with the codebook-size
     # lever priced) — together with the retained near-uniform panels these
@@ -2748,8 +2833,6 @@ _DRIVER_WINDOW = [
     "decontaminate_ngrams",
     "dedup_paragraphs",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_topk_cosine",
     "c2_pruning_filter",
     "c7_selector_inference",
     "a9_value_percentiles",
@@ -2768,7 +2851,6 @@ _DRIVER_WINDOW = [
     "ann_ivf_topk",
     "ann_lsh_topk",
     "c6_media_extraction",
-    "c7_css_selectors",
 ]
 
 

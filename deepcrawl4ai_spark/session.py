@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # turn silent python-worker deaths into tracebacks (negligible
+        # overhead; a crashed worker otherwise reports only "exited
+        # unexpectedly" with no stack on either side)
+        .config("spark.python.worker.faulthandler.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -12,7 +12,12 @@ from deepcrawl4ai_spark.operators.dedup import (
     dedup_minhash_verified,
     label_propagation_fixpoint,
 )
-from deepcrawl4ai_spark.operators.graph import host_pagerank, pagerank_fixpoint
+from deepcrawl4ai_spark.operators.graph import (
+    hits_fixpoint,
+    host_hits,
+    host_pagerank,
+    pagerank_fixpoint,
+)
 from deepcrawl4ai_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -52,6 +57,35 @@ def test_pagerank_converges_with_constant_plan_depth(spark):
     assert len(set(depths[1:])) == 1, depths
     total = ranks.agg(F.sum("rank")).head()[0]
     assert 0.0 < total <= 1.0 + 1e-9  # dangling mass dropped, floor retained
+
+
+def test_hits_fixpoint_matches_unrolled(spark):
+    """max_iters=3, tol=0 reproduces the unrolled-3 host_hits query."""
+    unrolled = {
+        r["host"]: (r["auth"], r["hub"]) for r in host_hits(spark, SF).collect()
+    }
+    auth, hub, iters = hits_fixpoint(_edges(spark), max_iters=3, tol=0.0)
+    assert iters == 3
+    got_a = {r["host"]: r["s"] for r in auth.collect()}
+    got_h = {r["host"]: r["s"] for r in hub.collect()}
+    got = {h: (round(got_a[h], 6), round(got_h[h], 6)) for h in got_a}
+    assert got == unrolled
+
+
+def test_hits_converges_with_constant_plan_depth(spark):
+    depths: list[int] = []
+    auth, hub, iters = hits_fixpoint(
+        _edges(spark), max_iters=60, tol=1e-10, plan_depths=depths
+    )
+    assert iters < 60, "did not converge by tolerance"
+    # ≥2: the first delta is only measurable on the second iteration (the
+    # dense near-regular test graph mixes fast, so 2 can be enough)
+    assert iters >= 2
+    assert len(set(depths[1:])) == 1, depths
+    # L1 normalization: both score vectors sum to 1 at the fixpoint
+    for df in (auth, hub):
+        total = df.agg(F.sum("s")).head()[0]
+        assert abs(total - 1.0) < 1e-9
 
 
 def test_clusters_fixpoint_matches_unrolled_and_converges(spark):

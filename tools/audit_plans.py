@@ -167,6 +167,14 @@ CHECKS = {
     # truth side (broadcast of the 10-query dim, never shuffled pair space)
     "ann_recall_clustered": ["Broadcast", "WindowGroupLimit", "!CartesianProduct"],
     "ann_recall_pq_clustered": ["Broadcast", "HashAggregate", "!CartesianProduct"],
+    # r06 batch 2: HITS — per half-iteration the edge join broadcasts the
+    # tiny score side and contributions partial-agg (the pagerank shape);
+    # temperature sampling is the domain_mix shape (tiny rate dim broadcast
+    # back over a scan-side filter, no corpus shuffle); the HLL gate is one
+    # partial agg over the vectorized scan
+    "host_hits": ["BroadcastHashJoin", "HashAggregate"],
+    "sample_temperature": ["BroadcastHashJoin", "Batched: true", "!SortMergeJoin"],
+    "a12_distinct_users_hll": ["HashAggregate", "Batched: true"],
 }
 
 
