@@ -87,6 +87,10 @@ EXTRAS = [
     "host_hits",
     "sample_temperature",
     "a12_distinct_users_hll",
+    # r06 batch 3: CCNet perplexity cut, minhash apply twin, SemDeDup
+    "sample_perplexity_buckets",
+    "dedup_minhash_apply",
+    "dedup_semantic",
 ]
 
 FRONTIER_SEEDS = 2000

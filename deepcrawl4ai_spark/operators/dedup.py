@@ -904,3 +904,80 @@ def dedup_recall_minhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit16") >= F.col("n_hit8")).alias("monotone_ok"),
         )
     )
+
+
+def dedup_minhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level near-dup CUT — the apply twin completing the MinHash
+    family (detect: dedup_minhash_verified; cluster: dedup_clusters_lp;
+    this: the removal list a pipeline anti-joins against, the same
+    detect→apply discipline as dedup_paragraphs_apply /
+    dedup_substring_apply). Keeper = the 3-hop min-label cluster id (the
+    smallest doc_id in the verified near-dup cluster keeps its slot); every
+    other member is emitted as (doc_id, keeper). Docs with no verified
+    near-dup never appear — the cut is a left-anti join for survivors.
+
+    Scale shape: exactly dedup_clusters_lp (band equi-join candidates →
+    bounded verify → 3 Pregel hops) plus one scan-side filter — no new
+    shuffle, no pair space beyond the verified LSH candidates."""
+    labels = dedup_clusters_lp(spark, sf_dir)
+    return labels.filter(F.col("cluster") != F.col("doc_id")).select(
+        "doc_id", F.col("cluster").alias("keeper")
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic dedup by
+    centroid-blocked embedding cosine — assign every vector to its
+    argmax-cosine centroid (the IVF/k-means assignment, broadcast
+    centroids), compare pairs ONLY within a cluster, and greedily keep the
+    lowest vec_id: a vector is removed iff some same-cluster partner with a
+    smaller id has cosine ≥ τ (0.3 — the synthetic embeddings are
+    near-uniform, so flagged pairs are the genuinely-close tail). Output:
+    every removed vector with its smallest flagged partner and that pair's
+    cosine (min-struct election — the repo's keeper idiom).
+
+    Scale shape (the paper's whole point): the pair space is blocked per
+    centroid cell — k centroids cut the all-pairs O(n²) to Σ|cell|²,
+    with the cell size bounded by the k chosen at index build; one
+    broadcast (centroids) + one shuffle on cid. The all-pairs baseline it
+    replaces is dedup_embedding_cosine (tagged in SCALE_BASELINES)."""
+    from deepcrawl4ai_spark.operators.similarity import (
+        _assign_to_seed_centroids,
+        _dot,
+        _norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _assign_to_seed_centroids(emb).select(
+        "vec_id", "cid", "v", _norm(F.col("v")).alias("nrm")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    flagged = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.cid").alias("cid"),
+            F.col("a.vec_id").alias("partner"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+    best = F.min(F.struct("partner", "cosine")).alias("k")
+    return (
+        flagged.groupBy("vec_id", "cid")
+        .agg(best)
+        .select(
+            "vec_id",
+            "cid",
+            F.col("k.partner").alias("partner"),
+            F.col("k.cosine").alias("cosine"),
+        )
+    )

@@ -820,3 +820,51 @@ def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / budget).cast("int").alias("shard"),
     )
+
+
+def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020 §4.3, public — the
+    selection step downstream of the LM gate): within EACH LANGUAGE, order
+    docs by ascending LM score and cut into equal thirds — head (most
+    fluent), middle, tail (noise); production trains on head+middle.
+    The score is text_unigram_logprob's corpus-self unigram surprisal (the
+    external-model-free KenLM analog, same plan shape), rounded to 6dp
+    BEFORE ranking; ties break on doc_id so the cut is deterministic.
+    Tier test is percent_rank()*3 < {1,2} — identical IEEE arithmetic in
+    both engines, no DECIMAL literals.
+
+    Scale shape: the scorer is two bounded shuffles (vocab partial-agg +
+    broadcast-join fold). The tercile cut is ONE window partitioned by
+    lang — a per-language range sort, which is literally what CCNet does;
+    at open-ended scale the exact cut swaps for percentile_approx cutoff
+    values broadcast back over a scan-side filter (the
+    a9_percentiles_approx sketch discipline — only boundary docs differ)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    p = vocab.crossJoin(F.broadcast(total)).select(
+        "word", (F.col("cnt") / F.col("total")).alias("pw")
+    )
+    scored = (
+        words.join(F.broadcast(p), "word")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(-F.log2(F.col("pw"))), 6).alias("bits_per_word"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    w = W.partitionBy("lang").orderBy("bits_per_word", "doc_id")
+    pr3 = F.percent_rank().over(w) * 3
+    tier = (
+        F.when(pr3 < 1, "head").when(pr3 < 2, "middle").otherwise("tail")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "bits_per_word",
+        tier.alias("tier"),
+        (pr3 < 2).alias("kept"),
+    )

@@ -2728,6 +2728,92 @@ _q(
 )
 
 
+
+_q(
+    "sample_perplexity_buckets",
+    X.sample_perplexity_buckets,
+    """
+    WITH wx AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    v AS (SELECT word, count(*) AS cnt FROM wx GROUP BY word),
+    p AS (
+      SELECT word,
+             CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM v) AS pw
+      FROM v
+    ),
+    s AS (
+      SELECT doc_id, round(avg(-log2(pw)), 6) AS bits_per_word
+      FROM wx JOIN p USING (word) GROUP BY doc_id
+    ),
+    r AS (
+      SELECT s.doc_id, d.lang, s.bits_per_word,
+             percent_rank() OVER (PARTITION BY d.lang
+                                  ORDER BY s.bits_per_word, s.doc_id) * 3
+               AS pr3
+      FROM s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, bits_per_word,
+           CASE WHEN pr3 < 1 THEN 'head'
+                WHEN pr3 < 2 THEN 'middle' ELSE 'tail' END AS tier,
+           pr3 < 2 AS kept
+    FROM r
+    """,
+)
+
+_q(
+    "dedup_minhash_apply",
+    D.dedup_minhash_apply,
+    "SELECT doc_id, cluster AS keeper FROM ("
+    + _clusters_lp_sql()
+    + ") lp WHERE cluster <> doc_id",
+)
+
+_q(
+    "dedup_semantic",
+    D.dedup_semantic,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, cents.cid,
+             {_DOT.format(a='e.v', b='cents.cv')} / (e.nrm * cents.cn) AS cos_raw
+      FROM e CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_raw DESC, cid ASC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    av AS (
+      SELECT a.vec_id, a.cid, e.v, e.nrm
+      FROM assigned a JOIN e ON a.vec_id = e.vec_id
+    ),
+    flagged AS (
+      SELECT b.vec_id AS vec_id, b.cid AS cid, a.vec_id AS partner,
+             round({_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6)
+               AS cosine
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id, cid, partner, cosine FROM (
+      SELECT vec_id, cid, partner, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY partner ASC) AS rk
+      FROM flagged WHERE cosine >= CAST(0.3 AS DOUBLE)
+    ) WHERE rk = 1
+    """,
+)
+
+
 # --- driver-window ordering + scale-safety tags --------------------------------
 #
 # The driver's correctness harness checks only the FIRST 50 registered
@@ -2763,6 +2849,17 @@ SCALE_BASELINES: dict[str, str] = {
 }
 
 _DRIVER_WINDOW = [
+    # new r06 batch 3: the CCNet perplexity tercile cut (subsumes
+    # text_unigram_logprob — same scorer CTE plus the per-lang split; the
+    # scorer row is demoted, still in CORRECTNESS_FULL), the MinHash APPLY
+    # twin (subsumes dedup_clusters_lp — its oracle embeds the full 3-hop
+    # LP chain; detect stays via dedup_minhash_verified), and SemDeDup
+    # centroid-blocked semantic dedup (the scale path; the tagged all-pairs
+    # baseline dedup_ngram_jaccard is demoted — twin stays in-window).
+    "sample_perplexity_buckets",
+    "dedup_minhash_apply",
+    "dedup_semantic",
+
     # new r06 batch 2: HITS hubs/authorities (link-analysis family beside
     # host_pagerank), temperature/alpha mixture sampling (mC4/XLM-R), and
     # the HLL distinct-cardinality accuracy gate. Demoted to make room:
@@ -2788,7 +2885,6 @@ _DRIVER_WINDOW = [
     "corpus_pipeline",
     "media_features",
     "ann_recall_panel",
-    "text_unigram_logprob",
     "bpe_merges",
     # late r05: the removal/apply twins, the mixture sampler, and the
     # encoder half of the tokenizer; demoted to make room (families still
@@ -2832,7 +2928,6 @@ _DRIVER_WINDOW = [
     "a9_percentiles_approx",
     "decontaminate_ngrams",
     "dedup_paragraphs",
-    "dedup_ngram_jaccard",
     "c2_pruning_filter",
     "c7_selector_inference",
     "a9_value_percentiles",
@@ -2847,7 +2942,6 @@ _DRIVER_WINDOW = [
     "dedup_minhash_verified",
     "dedup_simhash_banded",
     "dedup_embedding_lsh",
-    "dedup_clusters_lp",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "c6_media_extraction",

@@ -175,6 +175,17 @@ CHECKS = {
     "host_hits": ["BroadcastHashJoin", "HashAggregate"],
     "sample_temperature": ["BroadcastHashJoin", "Batched: true", "!SortMergeJoin"],
     "a12_distinct_users_hll": ["HashAggregate", "Batched: true"],
+    # r06 batch 3: the CCNet tercile cut is ONE lang-partitioned window on
+    # top of the unigram scorer's broadcast-join fold; the minhash APPLY
+    # twin inherits the clusters_lp shape (band equi-join -> verify -> 3
+    # Pregel hops, partial-agg each); SemDeDup blocks the pair space per
+    # centroid cell — the pair join must stay an equi-join on cid (hash or
+    # sort-merge), never a cartesian product
+    "sample_perplexity_buckets": ["Window", "BroadcastHashJoin", "HashAggregate"],
+    "dedup_minhash_apply": ["HashAggregate", "!CartesianProduct"],
+    # (keeper election is a struct-min -> SortAggregate, not hash-able)
+    "dedup_semantic": ["SortAggregate", "Batched: true", "!CartesianProduct",
+                       "!BroadcastNestedLoopJoin Inner"],
 }
 
 
