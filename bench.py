@@ -91,6 +91,11 @@ EXTRAS = [
     "sample_perplexity_buckets",
     "dedup_minhash_apply",
     "dedup_semantic",
+    # r06 batch 4: DSIR selection, winnowing fingerprints, entropy gate
+    "sample_dsir",
+    "text_winnow_fingerprint",
+    "text_entropy_filter",
+    "corpus_pipeline_v2",
 ]
 
 FRONTIER_SEEDS = 2000

@@ -219,3 +219,133 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(ws).alias("pos"),
     )
     return manifest.crossJoin(F.broadcast(counts))
+
+
+def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 funnel — same single-registered-query rationale as
+    corpus_pipeline (cross-operator composition bugs are invisible to
+    per-op oracles), chaining this round's additions:
+
+        documents
+          → character-entropy gate     (text_entropy_filter: H≥3 ∧ ≥20 chars)
+          → CCNet perplexity cut       (sample_perplexity_buckets — the LM
+                                        and the per-lang terciles computed ON
+                                        THE ENTROPY SURVIVORS: the
+                                        population-dependent stage)
+          → near-dup cut               (dedup_minhash_apply's removal list,
+                                        corpus-wide — dedup runs on the full
+                                        crawl before quality selection, the
+                                        RefinedWeb ordering)
+          → DSIR selection             (sample_dsir, corpus-wide model,
+                                        keep logratio > 0)
+          → sequence packing           (pack_sequences' greedy 4096 budget)
+
+    Output: the training-shard manifest (doc_id, lang, n_tokens, pack_id)
+    with the funnel counts n_input ≥ n_entropy ≥ n_ppl ≥ n_dedup ≥ n_final
+    broadcast onto every row so the hash verifies the whole funnel.
+
+    Scale shape: entropy = two partial aggs; the perplexity stage is the
+    unigram scorer (vocab partial-agg + broadcast join) + one per-lang
+    window over SURVIVORS; the dedup list is the clusters_lp shape; DSIR is
+    one vocab agg + broadcast join; packing one window. The only new cost
+    over running the stages separately is zero — stages share scans."""
+    from deepcrawl4ai_spark.operators.dedup import dedup_clusters_lp
+    from deepcrawl4ai_spark.operators.textops import sample_dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+
+    # --- stage 1: entropy gate (text_entropy_filter's arithmetic) ---
+    ch = docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+    per = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    nch = per.groupBy("doc_id").agg(F.sum("cnt").alias("n_chars_t"))
+    pc = F.col("cnt") / F.col("n_chars_t")
+    ent = (
+        per.join(nch, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(pc * F.log2(pc)), 6).alias("h"))
+        .join(nch, "doc_id")
+        .select(
+            "doc_id",
+            ((F.col("h") >= 3.0) & (F.col("n_chars_t") >= 20)).alias("ent_ok"),
+        )
+    )
+
+    # --- stage 2: CCNet perplexity cut on the entropy SURVIVORS ---
+    surv1 = docs.join(ent.filter(F.col("ent_ok")), "doc_id").select(
+        "doc_id", "lang", "text"
+    )
+    words = surv1.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    p = vocab.crossJoin(F.broadcast(total)).select(
+        "word", (F.col("cnt") / F.col("total")).alias("pw")
+    )
+    scored = (
+        words.join(F.broadcast(p), "word")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(-F.log2(F.col("pw"))), 6).alias("bpw"))
+        .join(surv1.select("doc_id", "lang"), "doc_id")
+    )
+    wppl = W.partitionBy("lang").orderBy("bpw", "doc_id")
+    ppl = scored.select(
+        "doc_id", ((F.percent_rank().over(wppl) * 3) < 2).alias("ppl_ok")
+    )
+
+    # --- stage 3: corpus-wide near-dup removal list (minhash apply) ---
+    removed = (
+        dedup_clusters_lp(spark, sf_dir)
+        .filter(F.col("cluster") != F.col("doc_id"))
+        .select("doc_id", F.lit(True).alias("_dup"))
+    )
+
+    # --- stage 4: DSIR selection (corpus-wide model) ---
+    dsir = sample_dsir(spark, sf_dir).select("doc_id", F.col("selected").alias("dsir_ok"))
+
+    flags = (
+        docs.select("doc_id", "lang", n_words.cast("long").alias("n_tokens"))
+        .join(ent, "doc_id")
+        .join(ppl, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .join(dsir, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "ent_ok",
+            (F.col("ent_ok") & F.coalesce(F.col("ppl_ok"), F.lit(False))).alias("ppl_sv"),
+            F.col("_dup").isNull().alias("nodup"),
+            "dsir_ok",
+        )
+        # one materialization shared by the counts agg and the manifest
+        # (the corpus_pipeline localCheckpoint-not-persist rationale)
+        .localCheckpoint()
+    )
+    dedup_sv = F.col("ppl_sv") & F.col("nodup")
+    final_ok = dedup_sv & F.col("dsir_ok")
+
+    counts = flags.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("ent_ok").cast("long")).alias("n_entropy"),
+        F.sum(F.col("ppl_sv").cast("long")).alias("n_ppl"),
+        F.sum(dedup_sv.cast("long")).alias("n_dedup"),
+        F.sum(final_ok.cast("long")).alias("n_final"),
+    )
+
+    # --- stage 5: greedy packing over the final survivors ---
+    survivors = flags.filter(final_ok).select("doc_id", "lang", "n_tokens")
+    wp = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(wp)
+    manifest = survivors.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / PACK_BUDGET).cast("int").alias("pack_id"),
+    )
+    return manifest.crossJoin(F.broadcast(counts))

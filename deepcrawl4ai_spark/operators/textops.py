@@ -868,3 +868,138 @@ def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         tier.alias("tier"),
         (pr3 < 2).alias("kept"),
     )
+
+
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, public — Data Selection with
+    Importance Resampling via hashed/unigram n-gram features): score every
+    doc by the mean log importance ratio ln(p_target(w)/p_raw(w)) between a
+    TARGET distribution and the raw corpus, select docs whose weight says
+    "looks like target". Target here = the corpus's 'en' slice (the
+    dominant language — the high-resource-proxy DSIR demonstrates on);
+    target probabilities are add-one smoothed over the corpus vocabulary so
+    never-in-target words contribute a finite negative ratio. selected =
+    mean log-ratio > 0 (the doc is likelier under target than raw).
+
+    Scale shape: ONE vocabulary partial-agg builds both distributions
+    (the target count is a conditional sum in the same groupBy — no second
+    corpus pass), totals are a 1-row broadcast, scoring is a broadcast
+    probability join + per-doc fold — exactly text_unigram_logprob's plan
+    with a second probability column. No pair space, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cnt_t"),
+    )
+    tot = vocab.agg(
+        F.sum("cnt").alias("n_raw"),
+        F.sum("cnt_t").alias("n_t"),
+        F.count("*").alias("vsz"),
+    )
+    p = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        (F.col("cnt") / F.col("n_raw")).alias("p_raw"),
+        ((F.col("cnt_t") + F.lit(1.0)) / (F.col("n_t") + F.col("vsz"))).alias(
+            "p_t"
+        ),
+    )
+    per_doc = (
+        words.join(F.broadcast(p), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(
+                F.avg(F.log(F.col("p_t")) - F.log(F.col("p_raw"))), 6
+            ).alias("logratio"),
+        )
+    )
+    return per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "logratio",
+        (F.col("logratio") > 0).alias("selected"),
+    )
+
+
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
+    local fingerprinting algorithm, public): hash every word 4-gram, slide
+    a window of 4 consecutive gram hashes, select the minimum per window
+    (ties → leftmost position via the packed (hash, pos) key), emit the
+    DISTINCT selections. Guarantee: any shared run of ≥ 7 words between two
+    docs shares a selected fingerprint — match detection without comparing
+    pairs. The packed key hash*100000+pos keeps the arg-min a plain MIN in
+    both engines (docs here are < 100k grams; at open-ended scale widen the
+    multiplier — hash < 2^32 leaves 2^21 headroom in the BIGINT).
+
+    Scale shape: scan-side gram hashing + ONE doc-partitioned ordered
+    window (frame CURRENT ROW..3 FOLLOWING) + distinct — a single shuffle
+    on doc_id; fingerprint postings land in a (hash → doc) index, the
+    near-dup join key downstream."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    grams = w.select(
+        "doc_id",
+        F.when(
+            F.size("w") >= 4,
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 4),
+                lambda i: F.concat_ws(
+                    " ", F.col("w")[i], F.col("w")[i + 1],
+                    F.col("w")[i + 2], F.col("w")[i + 3]
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("g"),
+    ).select("doc_id", F.posexplode("g").alias("pos", "gram"))
+    hv = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    keyed = grams.select(
+        "doc_id", "pos", (hv * 100000 + F.col("pos")).alias("key")
+    )
+    frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    sel = keyed.select(
+        "doc_id", F.min("key").over(frame).alias("skey")
+    ).distinct()
+    return sel.select(
+        "doc_id",
+        F.expr("skey DIV 100000").alias("fp_hash"),
+        (F.col("skey") % 100000).cast("int").alias("fp_pos"),
+    )
+
+
+def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate (the classic low-information spam
+    heuristic — keyboard mashing and repeated-char padding score far below
+    natural text's ~4 bits/char): per doc, Shannon entropy of the character
+    distribution, H = −Σ p(c)·log2 p(c); kept = H ≥ 3 bits and ≥ 20 chars.
+
+    Scale shape: one (doc_id, char) partial agg + one per-doc fold — the
+    key space is docs × alphabet, shuffles bounded by the scan; no window,
+    no pair space."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    )
+    per = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    n = per.groupBy("doc_id").agg(F.sum("cnt").alias("n_chars"))
+    pc = F.col("cnt") / F.col("n_chars")
+    ent = (
+        per.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(pc * F.log2(pc)), 6).alias("entropy_bits"))
+    )
+    return ent.join(n, "doc_id").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "entropy_bits",
+        ((F.col("entropy_bits") >= 3.0) & (F.col("n_chars") >= 20)).alias(
+            "kept"
+        ),
+    )

@@ -2814,6 +2814,224 @@ _q(
 )
 
 
+
+_q(
+    "sample_dsir",
+    X.sample_dsir,
+    """
+    WITH wx AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    v AS (
+      SELECT word, count(*) AS cnt,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+      FROM wx GROUP BY word
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_raw,
+             CAST(sum(cnt_t) AS BIGINT) AS n_t,
+             count(*) AS vsz
+      FROM v
+    ),
+    p AS (
+      SELECT word,
+             CAST(cnt AS DOUBLE) / (SELECT n_raw FROM tot) AS p_raw,
+             (CAST(cnt_t AS DOUBLE) + CAST(1 AS DOUBLE))
+               / (CAST((SELECT n_t FROM tot) AS DOUBLE)
+                  + (SELECT vsz FROM tot)) AS p_t
+      FROM v
+    ),
+    d AS (
+      SELECT doc_id, count(*) AS n_words,
+             round(avg(ln(p_t) - ln(p_raw)), 6) AS logratio
+      FROM wx JOIN p USING (word) GROUP BY doc_id
+    )
+    SELECT d.doc_id, docs.lang, n_words, logratio,
+           logratio > 0 AS selected
+    FROM d JOIN documents docs ON d.doc_id = docs.doc_id
+    """,
+)
+
+_q(
+    "text_winnow_fingerprint",
+    X.text_winnow_fingerprint,
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g0 AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 4
+                    THEN list_transform(generate_series(1, len(w) - 3),
+                           i -> {'pos': i - 1,
+                                 'gram': w[i] || ' ' || w[i+1] || ' ' ||
+                                         w[i+2] || ' ' || w[i+3]})
+                    ELSE CAST([] AS STRUCT(pos BIGINT, gram VARCHAR)[])
+                    END) AS s
+      FROM w
+    ),
+    k AS (
+      SELECT doc_id, s.pos AS pos,
+             CAST(('0x' || substr(md5(s.gram), 1, 8)) AS BIGINT) * 100000
+               + s.pos AS key
+      FROM g0
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS skey
+      FROM k
+    )
+    SELECT doc_id, skey // 100000 AS fp_hash,
+           CAST(skey % 100000 AS INT) AS fp_pos
+    FROM sel
+    """,
+)
+
+_q(
+    "text_entropy_filter",
+    X.text_entropy_filter,
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    per AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+    n AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars
+      FROM per GROUP BY doc_id
+    ),
+    e AS (
+      SELECT per.doc_id,
+             round(-sum((CAST(cnt AS DOUBLE) / n_chars)
+                        * log2(CAST(cnt AS DOUBLE) / n_chars)), 6)
+               AS entropy_bits
+      FROM per JOIN n USING (doc_id) GROUP BY per.doc_id
+    )
+    SELECT e.doc_id, n.n_chars, entropy_bits,
+           entropy_bits >= CAST(3.0 AS DOUBLE) AND n.n_chars >= 20 AS kept
+    FROM e JOIN n USING (doc_id)
+    """,
+)
+
+
+
+_q(
+    "corpus_pipeline_v2",
+    PL.corpus_pipeline_v2,
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    cper AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+    cn AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_t
+      FROM cper GROUP BY doc_id
+    ),
+    ce AS (
+      SELECT cper.doc_id,
+             round(-sum((CAST(cnt AS DOUBLE) / n_chars_t)
+                        * log2(CAST(cnt AS DOUBLE) / n_chars_t)), 6) AS h
+      FROM cper JOIN cn USING (doc_id) GROUP BY cper.doc_id
+    ),
+    ent AS (
+      SELECT ce.doc_id,
+             (h >= CAST(3.0 AS DOUBLE) AND n_chars_t >= 20) AS ent_ok
+      FROM ce JOIN cn USING (doc_id)
+    ),
+    surv1 AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN ent ON d.doc_id = ent.doc_id WHERE ent_ok
+    ),
+    pwx AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM surv1
+    ),
+    pv AS (SELECT word, count(*) AS cnt FROM pwx GROUP BY word),
+    pp AS (
+      SELECT word, CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM pv) AS pw
+      FROM pv
+    ),
+    psc AS (
+      SELECT doc_id, round(avg(-log2(pw)), 6) AS bpw
+      FROM pwx JOIN pp USING (word) GROUP BY doc_id
+    ),
+    ppl AS (
+      SELECT psc.doc_id,
+             (percent_rank() OVER (PARTITION BY s.lang
+                                   ORDER BY psc.bpw, psc.doc_id) * 3) < 2
+               AS ppl_ok
+      FROM psc JOIN surv1 s ON psc.doc_id = s.doc_id
+    ),
+    removed AS (
+      SELECT doc_id FROM (
+    """
+    + _clusters_lp_sql()
+    + """
+      ) lp WHERE cluster <> doc_id
+    ),
+    dwx AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    dv AS (
+      SELECT word, count(*) AS cnt,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+      FROM dwx GROUP BY word
+    ),
+    dtot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_raw,
+             CAST(sum(cnt_t) AS BIGINT) AS n_t, count(*) AS vsz
+      FROM dv
+    ),
+    dp AS (
+      SELECT word,
+             CAST(cnt AS DOUBLE) / (SELECT n_raw FROM dtot) AS p_raw,
+             (CAST(cnt_t AS DOUBLE) + CAST(1 AS DOUBLE))
+               / (CAST((SELECT n_t FROM dtot) AS DOUBLE)
+                  + (SELECT vsz FROM dtot)) AS p_t
+      FROM dv
+    ),
+    dsir AS (
+      SELECT doc_id, round(avg(ln(p_t) - ln(p_raw)), 6) > 0 AS dsir_ok
+      FROM dwx JOIN dp USING (word) GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT d.doc_id, d.lang,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             ent.ent_ok,
+             (ent.ent_ok AND COALESCE(ppl.ppl_ok, FALSE)) AS ppl_sv,
+             removed.doc_id IS NULL AS nodup,
+             dsir.dsir_ok
+      FROM documents d
+      JOIN ent ON d.doc_id = ent.doc_id
+      LEFT JOIN ppl ON d.doc_id = ppl.doc_id
+      LEFT JOIN removed ON d.doc_id = removed.doc_id
+      JOIN dsir ON d.doc_id = dsir.doc_id
+    ),
+    counts AS (
+      SELECT count(*) AS n_input,
+             count(*) FILTER (WHERE ent_ok) AS n_entropy,
+             count(*) FILTER (WHERE ppl_sv) AS n_ppl,
+             count(*) FILTER (WHERE ppl_sv AND nodup) AS n_dedup,
+             count(*) FILTER (WHERE ppl_sv AND nodup AND dsir_ok) AS n_final
+      FROM flags
+    ),
+    sv AS (
+      SELECT doc_id, lang, n_tokens FROM flags
+      WHERE ppl_sv AND nodup AND dsir_ok
+    ),
+    pk AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) / 4096) AS INT) AS pack_id
+      FROM sv
+    )
+    SELECT pk.*, n_input, n_entropy, n_ppl, n_dedup, n_final
+    FROM pk CROSS JOIN counts
+    """,
+)
+
+
 # --- driver-window ordering + scale-safety tags --------------------------------
 #
 # The driver's correctness harness checks only the FIRST 50 registered
@@ -2849,6 +3067,23 @@ SCALE_BASELINES: dict[str, str] = {
 }
 
 _DRIVER_WINDOW = [
+    # new r06 batch 5: the round-6 end-to-end funnel (entropy gate ->
+    # survivor-population CCNet cut -> corpus-wide near-dup cut -> DSIR ->
+    # packing). Demoted: dedup_paragraphs (family keeps the apply twin,
+    # whose output embeds detection); stays green in CORRECTNESS_FULL.
+    "corpus_pipeline_v2",
+
+    # new r06 batch 4: DSIR importance selection, winnowing fingerprints,
+    # and the character-entropy gate. Demoted: sample_quality_weighted
+    # (sampling family keeps domain_mix/source_cap/temperature/dsir),
+    # a9_value_percentiles (tagged full-sort baseline; the sketch twin
+    # a9_percentiles_approx stays in-window), ann_kmeans_update (ANN family
+    # keeps ivf/lsh/pq + both clustered recall rows); all three stay green
+    # in CORRECTNESS_FULL.
+    "sample_dsir",
+    "text_winnow_fingerprint",
+    "text_entropy_filter",
+
     # new r06 batch 3: the CCNet perplexity tercile cut (subsumes
     # text_unigram_logprob — same scorer CTE plus the per-lang split; the
     # scorer row is demoted, still in CORRECTNESS_FULL), the MinHash APPLY
@@ -2921,18 +3156,14 @@ _DRIVER_WINDOW = [
     # r04-in-window green, still covered by the FULL artifact every round)
     "text_pii_mask",
     "text_repetition_filter",
-    "sample_quality_weighted",
     "shard_shuffle",
     # r04 window, retained
     "decontaminate_apply",
     "a9_percentiles_approx",
     "decontaminate_ngrams",
-    "dedup_paragraphs",
     "c2_pruning_filter",
     "c7_selector_inference",
-    "a9_value_percentiles",
     "tpch_q1",
-    "ann_kmeans_update",
     # §2 / scale-path representatives (long-stable, r02+r03-green)
     "r8_retry_backoff",
     "o1_priority_topk",

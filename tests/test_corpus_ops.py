@@ -1,0 +1,137 @@
+"""Invariant tests for the round-6 corpus operators (batch 3 + 4).
+
+Value-level parity is the oracle gate (tools/check_correctness.py); these
+pin the semantic guarantees the oracles can't state: the winnowing match
+guarantee, tercile balance, DSIR's target preference, SemDeDup blocking.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_perplexity_terciles_balanced(spark):
+    """Per language the head/middle/tail cut differs by at most one doc,
+    and kept == (tier != tail)."""
+    from deepcrawl4ai_spark.operators.textops import sample_perplexity_buckets
+
+    rows = sample_perplexity_buckets(spark, SF_SMALL).collect()
+    by_lang: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["tier"], 0)
+        by_lang[r["lang"]][r["tier"]] += 1
+        assert r["kept"] == (r["tier"] != "tail")
+    for lang, tiers in by_lang.items():
+        counts = [tiers.get(t, 0) for t in ("head", "middle", "tail")]
+        assert max(counts) - min(counts) <= 1, (lang, counts)
+
+
+def test_winnowing_guarantee(spark):
+    """Schleimer et al. 2003: docs sharing a run of >= w+k-1 = 7 words share
+    a selected fingerprint HASH. The synthetic corpus has verified near-dup
+    pairs (jaccard >= 0.04); check the guarantee on exact-duplicate texts
+    (same md5 => identical gram stream => identical fingerprint hashes),
+    plus basic shape: every >=4-word doc fingerprints, positions in range."""
+    from deepcrawl4ai_spark.operators.dedup import dedup_exact_keep
+    from deepcrawl4ai_spark.operators.textops import text_winnow_fingerprint
+
+    fp = text_winnow_fingerprint(spark, SF_SMALL)
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    n_words = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("nw")
+    )
+    per_doc = fp.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"), F.max("fp_pos").alias("max_pos")
+    ).join(n_words, "doc_id")
+    bad = per_doc.filter(
+        (F.col("nw") >= 4) & ((F.col("n_fp") < 1) | (F.col("max_pos") > F.col("nw") - 4))
+    ).count()
+    assert bad == 0
+
+    dup = dedup_exact_keep(spark, SF_SMALL).limit(5).collect()
+    if dup:
+        sets = (
+            fp.groupBy("doc_id").agg(F.collect_set("fp_hash").alias("hs"))
+        )
+        pairs = {(r["doc_id"], r["keep_doc"]) for r in dup}
+        hs = {
+            r["doc_id"]: set(r["hs"])
+            for r in sets.filter(
+                F.col("doc_id").isin(
+                    [d for p in pairs for d in p]
+                )
+            ).collect()
+        }
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in docs.filter(
+                F.col("doc_id").isin([d for p in pairs for d in p])
+            ).collect()
+        }
+        for a, b in pairs:
+            if texts[a] == texts[b] and len(texts[a].split()) >= 7:
+                assert hs.get(a) == hs.get(b), (a, b)
+
+
+def test_dsir_prefers_target_language(spark):
+    """DSIR weights the target ('en') slice above the rest on average —
+    the selection actually separates."""
+    from deepcrawl4ai_spark.operators.textops import sample_dsir
+
+    agg = (
+        sample_dsir(spark, SF_SMALL)
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("logratio").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in agg}
+    assert means[True] > means[False]
+
+
+def test_entropy_bounded_by_alphabet(spark):
+    """H <= log2(distinct chars) per doc, and natural text clears the gate."""
+    from deepcrawl4ai_spark.operators.textops import text_entropy_filter
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    alpha = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", ""))).alias("n_alpha"),
+    )
+    joined = text_entropy_filter(spark, SF_SMALL).join(alpha, "doc_id")
+    bad = joined.filter(
+        F.col("entropy_bits") > F.log2(F.col("n_alpha")) + 1e-6
+    ).count()
+    assert bad == 0
+    kept_frac = joined.agg(F.avg(F.col("kept").cast("double"))).first()[0]
+    assert kept_frac > 0.9
+
+
+def test_semantic_dedup_blocking(spark):
+    """Every removed vector names a smaller same-cluster partner with
+    cosine >= tau, and no vector is removed twice."""
+    from deepcrawl4ai_spark.operators.dedup import dedup_semantic
+
+    rows = dedup_semantic(spark, SF_SMALL).collect()
+    seen = set()
+    for r in rows:
+        assert r["partner"] < r["vec_id"]
+        assert r["cosine"] >= 0.3
+        assert r["vec_id"] not in seen
+        seen.add(r["vec_id"])
+
+
+def test_minhash_apply_consistent_with_clusters(spark):
+    """The apply twin is exactly clusters_lp's non-keeper rows, and no
+    keeper is ever removed."""
+    from deepcrawl4ai_spark.operators.dedup import (
+        dedup_clusters_lp,
+        dedup_minhash_apply,
+    )
+
+    labels = {r["doc_id"]: r["cluster"] for r in dedup_clusters_lp(spark, SF_SMALL).collect()}
+    removed = {r["doc_id"]: r["keeper"] for r in dedup_minhash_apply(spark, SF_SMALL).collect()}
+    expect = {d: c for d, c in labels.items() if c != d}
+    assert removed == expect
+    assert not (set(removed) & set(removed.values()))

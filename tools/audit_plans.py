@@ -186,6 +186,23 @@ CHECKS = {
     # (keeper election is a struct-min -> SortAggregate, not hash-able)
     "dedup_semantic": ["SortAggregate", "Batched: true", "!CartesianProduct",
                        "!BroadcastNestedLoopJoin Inner"],
+    # r06 batch 4: DSIR is the unigram-scorer shape (one vocab partial agg,
+    # broadcast probability join, per-doc fold); winnowing is scan-side gram
+    # hashing + one doc-partitioned window + distinct; the entropy gate is
+    # two partial aggs over the vectorized scan
+    "sample_dsir": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct"],
+    "text_winnow_fingerprint": ["Window", "HashAggregate", "Batched: true"],
+    "text_entropy_filter": ["HashAggregate", "Batched: true", "!Window"],
+    # r06 batch 5: the v2 funnel — windows (perplexity cut + packing),
+    # broadcast prob/total joins, the 1-row counts cross join; the minhash
+    # band self-join inside the dedup stage may sort-merge, so unlike v1
+    # SMJ is not forbidden here
+    "corpus_pipeline_v2": [
+        "HashAggregate",
+        "Window",
+        "BroadcastNestedLoopJoin Cross",
+        "!CartesianProduct",
+    ],
 }
 
 
