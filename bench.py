@@ -96,6 +96,9 @@ EXTRAS = [
     "text_winnow_fingerprint",
     "text_entropy_filter",
     "corpus_pipeline_v2",
+    # r06 batch 6: composed IVF+PQ index, winnowing match step
+    "ann_ivfpq_topk",
+    "dedup_winnow_pairs",
 ]
 
 FRONTIER_SEEDS = 2000

@@ -981,3 +981,38 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k.cosine").alias("cosine"),
         )
     )
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from winnowing fingerprints — the MOSS
+    match step downstream of text_winnow_fingerprint: two docs are
+    candidates when they share ≥ 2 selected fingerprint HASHES (one shared
+    hash already implies a common ≥7-word run by the winnowing guarantee;
+    two distinct shared hashes cut the accidental-collision tail). Emits
+    (doc1, doc2, n_shared).
+
+    Scale shape: the fingerprint postings join on fp_hash — the pair space
+    collapses to per-fingerprint bucket sizes exactly like an LSH band
+    join, never all-pairs; one distinct + one equi-join + one pair
+    partial-agg."""
+    from deepcrawl4ai_spark.operators.textops import text_winnow_fingerprint
+
+    fp = (
+        text_winnow_fingerprint(spark, sf_dir)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

@@ -798,3 +798,88 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.alias("hits_pq"),
         F.round(hits / F.col("n_exact"), 6).alias("recall_pq"),
     )
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the composed index every production vector store runs
+    (Jégou et al. 2011 §IV / the FAISS IVFPQ shape, non-residual variant):
+    the coarse IVF quantizer prunes the corpus to the query's Voronoi cell,
+    then ADC with the global PQ codebooks scores only that cell's CODES —
+    search touches neither the full corpus (IVF's pruning) nor any original
+    vector (PQ's compression). Top-5 per query by ascending ADC distance,
+    cell-restricted.
+
+    Scale shape: both codebooks broadcast; the per-vector work is one
+    coarse argmax (broadcast) + 4 code lookups; the scan phase reads
+    (cid, 4 codes) per vector — the 100-TB sweep is a partition-pruned
+    compressed-domain scan, the strictly-better composition of
+    ann_ivf_topk (pruning, full vectors) and ann_pq_topk (compression,
+    full scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _assign_to_seed_centroids(emb).select("vec_id", "cid")
+    subs = _subvectors(emb)
+    cents = subs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("pcid"),
+        F.col("m").alias("cm"),
+        F.col("sv").alias("cv"),
+    )
+    corpus = subs.filter(F.col("vec_id") >= 10)
+    codes = (
+        corpus.join(F.broadcast(cents), F.col("m") == F.col("cm"))
+        .select(
+            "vec_id", "m", "pcid", _l2sq(F.col("sv"), F.col("cv")).alias("d")
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "pcid")).alias("k"))
+        .select("vec_id", "m", F.col("k.pcid").alias("code"))
+        .join(assigned, "vec_id")
+    )
+    q = subs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("m").alias("qm"),
+        F.col("sv").alias("qv"),
+    )
+    qcell = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("cid").alias("qcid")
+    )
+    dtable = (
+        q.join(F.broadcast(cents), F.col("qm") == F.col("cm"))
+        .select(
+            "qid",
+            F.col("qm").alias("m"),
+            F.col("pcid").alias("code"),
+            _l2sq(F.col("qv"), F.col("cv")).alias("qd"),
+        )
+        .join(F.broadcast(qcell), "qid")
+    )
+    adc = (
+        codes.alias("c")
+        .join(
+            F.broadcast(dtable).alias("dt"),
+            (F.col("c.m") == F.col("dt.m"))
+            & (F.col("c.code") == F.col("dt.code"))
+            & (F.col("c.cid") == F.col("dt.qcid")),
+        )
+        .groupBy(F.col("dt.qid").alias("qid"), F.col("c.vec_id").alias("vec_id"))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("c.m").alias("m"), F.col("dt.qd").alias("qd")))),
+                    lambda s: s["qd"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc_raw")
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc_raw").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("adc_raw", 6).alias("adc"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -2074,6 +2074,84 @@ def _pq_sql(src: str = "embeddings", seed_mod: int = 50) -> str:
 
 _q("ann_pq_topk", S.ann_pq_topk, _pq_sql())
 
+
+def _ivfpq_sql() -> str:
+    from deepcrawl4ai_spark.operators.similarity import N_SUB, SUB_DIM
+
+    def l2sq(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {SUB_DIM}), "
+            f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+            f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+            f"(x, y) -> x + y)"
+        )
+
+    ms = ", ".join(str(m) for m in range(N_SUB))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    ccents AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, ccents.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_DOT.format(a='e.v', b='ccents.cv')}
+                            / (e.nrm * ccents.cn) DESC, ccents.cid ASC) AS rk
+        FROM e CROSS JOIN ccents
+      ) WHERE rk = 1
+    ),
+    subs AS (
+      SELECT vec_id, m,
+             embedding[m*{SUB_DIM}+1 : m*{SUB_DIM}+{SUB_DIM}] AS sv
+      FROM (SELECT vec_id, embedding, unnest([{ms}]) AS m FROM embeddings)
+    ),
+    cents AS (
+      SELECT vec_id AS pcid, m AS cm, sv AS cv FROM subs WHERE vec_id % 50 = 0
+    ),
+    coded AS (
+      SELECT vec_id, m, pcid,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY {l2sq('sv', 'cv')} ASC, pcid ASC) AS rn
+      FROM subs JOIN cents ON subs.m = cents.cm
+      WHERE vec_id >= 10
+    ),
+    codes AS (
+      SELECT coded.vec_id, m, pcid AS code, assigned.cid
+      FROM coded JOIN assigned ON coded.vec_id = assigned.vec_id
+      WHERE rn = 1
+    ),
+    dtable AS (
+      SELECT s.vec_id AS qid, s.m, cents.pcid AS code,
+             {l2sq('s.sv', 'cents.cv')} AS qd, a.cid AS qcid
+      FROM subs s
+      JOIN cents ON s.m = cents.cm
+      JOIN assigned a ON s.vec_id = a.vec_id
+      WHERE s.vec_id < 10
+    ),
+    adc AS (
+      SELECT qid, codes.vec_id,
+             list_reduce(list(qd ORDER BY codes.m), (x, y) -> x + y) AS adc_raw
+      FROM codes JOIN dtable
+        ON codes.m = dtable.m AND codes.code = dtable.code
+           AND codes.cid = dtable.qcid
+      GROUP BY qid, codes.vec_id
+    )
+    SELECT qid, vec_id, round(adc_raw, 6) AS adc, rk FROM (
+      SELECT qid, vec_id, adc_raw,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc_raw ASC, vec_id ASC) AS rk
+      FROM adc
+    ) WHERE rk <= 5
+    """
+
+
+_q("ann_ivfpq_topk", S.ann_ivfpq_topk, _ivfpq_sql())
+
 _q(
     "ann_recall_pq",
     S.ann_recall_pq,
@@ -2853,10 +2931,7 @@ _q(
     """,
 )
 
-_q(
-    "text_winnow_fingerprint",
-    X.text_winnow_fingerprint,
-    """
+_WINNOW_SQL = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     g0 AS (
       SELECT doc_id,
@@ -2885,6 +2960,26 @@ _q(
     SELECT doc_id, skey // 100000 AS fp_hash,
            CAST(skey % 100000 AS INT) AS fp_pos
     FROM sel
+    """
+
+_q("text_winnow_fingerprint", X.text_winnow_fingerprint, _WINNOW_SQL)
+
+_q(
+    "dedup_winnow_pairs",
+    D.dedup_winnow_pairs,
+    """
+    WITH fp AS (
+      SELECT DISTINCT doc_id, fp_hash FROM (
+    """
+    + _WINNOW_SQL
+    + """
+      ) wf
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
+    FROM fp a JOIN fp b
+      ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
     """,
 )
 
@@ -3067,6 +3162,14 @@ SCALE_BASELINES: dict[str, str] = {
 }
 
 _DRIVER_WINDOW = [
+    # new r06 batch 6: the composed IVF+PQ index (its oracle embeds the
+    # full PQ chain plus the cell restriction, so ann_pq_topk demotes) and
+    # the winnowing MATCH step (embeds the full fingerprint chain, so
+    # text_winnow_fingerprint demotes); both demoted rows stay green in
+    # CORRECTNESS_FULL.
+    "ann_ivfpq_topk",
+    "dedup_winnow_pairs",
+
     # new r06 batch 5: the round-6 end-to-end funnel (entropy gate ->
     # survivor-population CCNet cut -> corpus-wide near-dup cut -> DSIR ->
     # packing). Demoted: dedup_paragraphs (family keeps the apply twin,
@@ -3081,7 +3184,6 @@ _DRIVER_WINDOW = [
     # keeps ivf/lsh/pq + both clustered recall rows); all three stay green
     # in CORRECTNESS_FULL.
     "sample_dsir",
-    "text_winnow_fingerprint",
     "text_entropy_filter",
 
     # new r06 batch 3: the CCNet perplexity tercile cut (subsumes
@@ -3136,7 +3238,6 @@ _DRIVER_WINDOW = [
     # dedup_exact, c1_interleave_stats, tpch_q3, a1_success_fail_counts,
     # j1_stream_dedup, o2_round_budget, r1_dynamic_rate_limit, pack_sequences
     "dedup_substring_apply",
-    "ann_pq_topk",
     "dedup_recall_minhash16",
     "sample_source_cap",
     "media_phash_dedup",

@@ -1,4 +1,4 @@
-"""Invariant tests for the round-6 corpus operators (batch 3 + 4).
+"""Invariant tests for the round-6 corpus operators (batches 3, 4, 6).
 
 Value-level parity is the oracle gate (tools/check_correctness.py); these
 pin the semantic guarantees the oracles can't state: the winnowing match
@@ -135,3 +135,57 @@ def test_minhash_apply_consistent_with_clusters(spark):
     expect = {d: c for d, c in labels.items() if c != d}
     assert removed == expect
     assert not (set(removed) & set(removed.values()))
+
+
+def test_ivfpq_topk_shape(spark):
+    """IVF+PQ returns ranked rows 1..k per query with non-decreasing ADC,
+    and every result lies in the query's coarse cell."""
+    from deepcrawl4ai_spark.operators.similarity import (
+        _assign_to_seed_centroids,
+        ann_ivfpq_topk,
+    )
+
+    rows = ann_ivfpq_topk(spark, SF_SMALL).collect()
+    emb = spark.read.parquet(SF_SMALL + "/embeddings.parquet")
+    cell = {
+        r["vec_id"]: r["cid"]
+        for r in _assign_to_seed_centroids(emb).select("vec_id", "cid").collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+        assert cell[r["vec_id"]] == cell[r["qid"]]
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        adcs = [r["adc"] for r in rs]
+        assert adcs == sorted(adcs)
+
+
+def test_winnow_pairs_catch_exact_dups(spark):
+    """Long exact-duplicate texts must surface as winnow pairs — the MOSS
+    guarantee end to end (>=20 words so the identical gram streams select
+    >=2 distinct fingerprints, the pair threshold)."""
+    from pyspark.sql import functions as SF
+
+    from deepcrawl4ai_spark.operators.dedup import dedup_winnow_pairs
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    dup_groups = (
+        docs.select("doc_id", SF.md5("text").alias("fp"),
+                    SF.size(SF.split("text", " ")).alias("nw"))
+        .filter(SF.col("nw") >= 20)
+        .groupBy("fp")
+        .agg(SF.collect_list("doc_id").alias("ids"))
+        .filter(SF.size("ids") >= 2)
+        .collect()
+    )
+    pairs = {
+        (r["doc1"], r["doc2"])
+        for r in dedup_winnow_pairs(spark, SF_SMALL).collect()
+    }
+    for g in dup_groups:
+        ids = sorted(g["ids"])
+        for i in range(len(ids) - 1):
+            assert (ids[i], ids[i + 1]) in pairs, ids

@@ -203,6 +203,17 @@ CHECKS = {
         "BroadcastNestedLoopJoin Cross",
         "!CartesianProduct",
     ],
+    # r06 batch 6: IVFPQ = the PQ shape (broadcast codebooks/dtable,
+    # min-struct encode, WindowGroupLimit top-k) with the coarse cell as an
+    # extra broadcast equi-join key; winnow pairs = postings equi-join on
+    # fp_hash + one pair partial-agg on top of the fingerprint window
+    "ann_ivfpq_topk": [
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "WindowGroupLimit",
+        "!CartesianProduct",
+    ],
+    "dedup_winnow_pairs": ["Window", "HashAggregate", "!CartesianProduct"],
 }
 
 
