@@ -106,25 +106,44 @@ def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("h"), (F.col("o_custkey") % 10)).alias("src"),
         F.concat(F.lit("h"), (F.col("o_orderkey") % 13)).alias("dst"),
     ).distinct()
+    # Each half-step reads its input TWICE (contribution join + the L1
+    # total) — unmaterialized, six unrolled half-steps recompute the base
+    # 2^6 times. Truncate with ONE eager localCheckpoint per iteration (the
+    # value-identical hits_fixpoint pattern); the un-checkpointed auth half
+    # is recomputed at most twice from the checkpointed hub, bounding total
+    # work at ~2× per iteration while keeping the job count at
+    # ITERATIONS + 1 (each eager checkpoint is a scheduler round-trip that
+    # dominates on this tiny graph).
+    from deepcrawl4ai_spark.frontier.engine import _unpersist_local_checkpoint
+
+    e = edges.localCheckpoint()
     nodes = (
-        edges.select(F.col("src").alias("host"))
-        .unionByName(edges.select(F.col("dst").alias("host")))
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     n = nodes.count()
-    e = edges.persist()
     hub = nodes.withColumn("s", F.lit(1.0 / n))
+    stale: list[DataFrame] = []
     for _ in range(ITERATIONS):
         auth = _hits_half_step(nodes, e, hub, "src", "dst", "a").withColumnRenamed("a", "s")
-        hub = _hits_half_step(nodes, e, auth, "dst", "src", "h").withColumnRenamed("h", "s")
+        hub = (
+            _hits_half_step(nodes, e, auth, "dst", "src", "h")
+            .withColumnRenamed("h", "s")
+            .localCheckpoint()
+        )
+        stale.append(hub)
     out = (
         auth.withColumnRenamed("s", "auth")
         .join(hub.withColumnRenamed("s", "hub"), "host")
         .select("host", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub"))
+        # the manifest is tiny (one row per host): materialize it so the
+        # superseded checkpoints can be released before returning
+        .localCheckpoint()
     )
-    nodes.unpersist()
-    e.unpersist()
+    for df in stale + [nodes, e]:
+        _unpersist_local_checkpoint(df)
     return out
 
 

@@ -172,7 +172,13 @@ CHECKS = {
     # temperature sampling is the domain_mix shape (tiny rate dim broadcast
     # back over a scan-side filter, no corpus shuffle); the HLL gate is one
     # partial agg over the vectorized scan
-    "host_hits": ["BroadcastHashJoin", "HashAggregate"],
+    # host_hits materializes per-iteration localCheckpoints (six unrolled
+    # half-steps each read their input twice — unmaterialized, the lineage
+    # recomputes the base 2^6 times), so the returned frame's plan is the
+    # truncated checkpoint scan; the per-iteration join+partial-agg shape
+    # is pinned instead by tests/test_iterative.py (host_hits ==
+    # hits_fixpoint(3) equality + the plan-depth constancy hook)
+    "host_hits": ["!CartesianProduct"],
     "sample_temperature": ["BroadcastHashJoin", "Batched: true", "!SortMergeJoin"],
     "a12_distinct_users_hll": ["HashAggregate", "Batched: true"],
     # r06 batch 3: the CCNet tercile cut is ONE lang-partitioned window on
