@@ -728,7 +728,14 @@ def dedup_clusters_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
         )
         .distinct()
-        .persist()
+        # localCheckpoint, NOT persist (the ADVICE r5 corpus_pipeline
+        # rationale): a persist here leaks one cached frame per invocation
+        # — no caller can unpersist it since the returned labels read it
+        # lazily; checkpoint blocks are reclaimed by the ContextCleaner
+        # when the caller drops the result. Also truncates the minhash
+        # verify chain out of the 3-hop lineage (each hop reads labels
+        # twice, so the unrolled plan re-references edges 2^3 times).
+        .localCheckpoint()
     )
     docs = load_table(spark, sf_dir, "documents")
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))

@@ -944,21 +944,25 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    # the generator expression is fused INTO posexplode — materializing the
+    # gram array as a named column first and exploding it in a second
+    # select keeps the parent words array alive through the Generate and
+    # measured 6x slower at sf0.1 (16.6 vs 2.6 s)
     grams = w.select(
         "doc_id",
-        F.when(
-            F.size("w") >= 4,
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - 4),
-                lambda i: F.concat_ws(
-                    " ", F.col("w")[i], F.col("w")[i + 1],
-                    F.col("w")[i + 2], F.col("w")[i + 3]
+        F.posexplode(
+            F.when(
+                F.size("w") >= 4,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 4),
+                    lambda i: F.concat_ws(
+                        " ", F.col("w")[i], F.col("w")[i + 1],
+                        F.col("w")[i + 2], F.col("w")[i + 3]
+                    ),
                 ),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("g"),
-    ).select("doc_id", F.posexplode("g").alias("pos", "gram"))
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
     hv = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
     keyed = grams.select(
         "doc_id", "pos", (hv * 100000 + F.col("pos")).alias("key")
