@@ -99,6 +99,7 @@ EXTRAS = [
     # r06 batch 6: composed IVF+PQ index, winnowing match step
     "ann_ivfpq_topk",
     "dedup_winnow_pairs",
+    "search_hybrid_rrf",
 ]
 
 FRONTIER_SEEDS = 2000

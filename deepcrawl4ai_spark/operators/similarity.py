@@ -883,3 +883,71 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009,
+    public — the fusion step every lexical+vector search stack runs):
+    fuse the corpus BM25 ranking (c3_bm25_rank's fixed query {spark, join})
+    with a vector ranking (cosine against the vec_id-0 query embedding over
+    the doc-aligned embeddings table) as RRF(k=60): score(d) =
+    Σ_r 1/(60 + rank_r(d)) over the rankers that retrieved d in their
+    top-20; emit the fused top-10 with both source ranks (0 = not
+    retrieved by that ranker).
+
+    Scale shape: each ranker truncates to a CONSTANT top-20 before fusion
+    via orderBy+limit — TakeOrderedAndProject, per-partition partial top-K
+    merged on the driver, no global sort (an un-partitioned rank≤K window
+    is NOT rewritten to WindowGroupLimit and would single-partition the
+    corpus); the ranking windows and the fusion full-join run on ≤ 40
+    rows. Corpus-side work stays the rankers' own scan+broadcast shapes."""
+    from deepcrawl4ai_spark.operators.textops import c3_bm25_rank
+
+    # truncate with orderBy+limit — TakeOrderedAndProject, a distributed
+    # partial top-k per partition merged on the driver (the un-partitioned
+    # rank<=K window is NOT rewritten to WindowGroupLimit and would move
+    # the whole corpus to one partition); the row_number window then ranks
+    # only the K survivors
+    wt = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    text_ranked = (
+        c3_bm25_rank(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn("text_rank", F.row_number().over(wt))
+        .select("doc_id", "text_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nrm")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    wv = W.orderBy(F.col("c").desc(), F.col("doc_id").asc())
+    vec_ranked = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("c"))
+        .orderBy(F.col("c").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .select("doc_id", "vec_rank")
+    )
+    fused = text_ranked.join(vec_ranked, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("text_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    wf = W.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce(F.col("text_rank"), F.lit(0)).alias("text_rank"),
+            F.coalesce(F.col("vec_rank"), F.lit(0)).alias("vec_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .withColumn("final_rank", F.row_number().over(wf))
+        .filter(F.col("final_rank") <= 10)
+    )

@@ -752,10 +752,7 @@ _q(
     """,
 )
 
-_q(
-    "c3_bm25_rank",
-    X.c3_bm25_rank,
-    """
+_BM25_SQL = """
     WITH d AS (
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
@@ -783,8 +780,9 @@ _q(
              + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
                * (tf2 * 2.2) / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs))),
              6) > 0
-    """,
-)
+    """
+
+_q("c3_bm25_rank", X.c3_bm25_rank, _BM25_SQL)
 
 # --- Span-document ops + TPC-H classics ---------------------------------------
 
@@ -3127,6 +3125,64 @@ _q(
 )
 
 
+
+_q(
+    "search_hybrid_rrf",
+    S.search_hybrid_rrf,
+    f"""
+    WITH tr AS (
+      SELECT doc_id, text_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS text_rank
+        FROM (
+    """
+    + _BM25_SQL
+    + f"""
+        ) b
+      ) WHERE text_rank <= 20
+    ),
+    e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+    vs AS (
+      SELECT e.vec_id AS doc_id,
+             {_DOT.format(a='e.v', b='q.qv')} / (e.nrm * q.qn) AS c
+      FROM e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    vr AS (
+      SELECT doc_id, vec_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY c DESC, doc_id ASC) AS vec_rank
+        FROM vs
+      ) WHERE vec_rank <= 20
+    ),
+    f AS (
+      SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+             tr.text_rank, vr.vec_rank
+      FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id
+    ),
+    s AS (
+      SELECT doc_id,
+             COALESCE(text_rank, 0) AS text_rank,
+             COALESCE(vec_rank, 0) AS vec_rank,
+             round(COALESCE(CAST(1 AS DOUBLE) / (60 + text_rank),
+                            CAST(0 AS DOUBLE))
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank),
+                              CAST(0 AS DOUBLE)), 6) AS rrf_score
+      FROM f
+    )
+    SELECT doc_id, text_rank, vec_rank, rrf_score, final_rank FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                  AS final_rank
+      FROM s
+    ) WHERE final_rank <= 10
+    """,
+)
+
+
 # --- driver-window ordering + scale-safety tags --------------------------------
 #
 # The driver's correctness harness checks only the FIRST 50 registered
@@ -3162,6 +3218,12 @@ SCALE_BASELINES: dict[str, str] = {
 }
 
 _DRIVER_WINDOW = [
+    # new r06 batch 7: hybrid lexical+vector retrieval via reciprocal rank
+    # fusion. Demoted: tpch_q1 (long-stable r02-green generic aggregate;
+    # the A-family keeps a9_percentiles_approx / a10 / a11 / a12 in-window;
+    # stays green in CORRECTNESS_FULL).
+    "search_hybrid_rrf",
+
     # new r06 batch 6: the composed IVF+PQ index (its oracle embeds the
     # full PQ chain plus the cell restriction, so ann_pq_topk demotes) and
     # the winnowing MATCH step (embeds the full fingerprint chain, so
@@ -3264,7 +3326,6 @@ _DRIVER_WINDOW = [
     "decontaminate_ngrams",
     "c2_pruning_filter",
     "c7_selector_inference",
-    "tpch_q1",
     # §2 / scale-path representatives (long-stable, r02+r03-green)
     "r8_retry_backoff",
     "o1_priority_topk",

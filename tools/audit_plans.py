@@ -220,6 +220,14 @@ CHECKS = {
         "!CartesianProduct",
     ],
     "dedup_winnow_pairs": ["Window", "HashAggregate", "!CartesianProduct"],
+    # r06 batch 7: hybrid RRF — each ranker truncates via orderBy+limit
+    # (TakeOrderedAndProject: distributed partial top-K, no global sort);
+    # the query-vector side is the usual 1-row broadcast cross
+    "search_hybrid_rrf": [
+        "TakeOrderedAndProject",
+        "BroadcastNestedLoopJoin Cross",
+        "!CartesianProduct",
+    ],
 }
 
 
