@@ -100,6 +100,7 @@ EXTRAS = [
     "ann_ivfpq_topk",
     "dedup_winnow_pairs",
     "search_hybrid_rrf",
+    "text_bigram_logprob",
 ]
 
 FRONTIER_SEEDS = 2000

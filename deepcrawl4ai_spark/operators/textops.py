@@ -1007,3 +1007,52 @@ def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept"
         ),
     )
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score — one order up from text_unigram_logprob
+    and one step closer to CCNet's KenLM gate (Wenzek et al. 2020): score
+    each doc by its mean bigram surprisal under the corpus's own bigram
+    model, bits_per_bigram = avg(-log2 p(w2|w1)) with p(w2|w1) =
+    cnt(w1 w2) / cnt(w1 ·). Self-scoring needs no smoothing (every scored
+    bigram exists in the model). Docs with < 2 words have no bigrams and
+    drop out.
+
+    Scale shape: unlike the unigram gate, the bigram dimension grows
+    superlinearly with the corpus, so the probability table is
+    HASH-JOINED on (w1, w2) — never broadcast; context counts fold out of
+    the same partial agg (one groupBy(w1, w2), one groupBy(w1)), then one
+    join + per-doc fold. The bigram explode is fused into the generator
+    (the winnow posexplode lesson — a pre-materialized array column
+    defeats generator fusion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    bg = arr.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.struct(
+                        F.col("w")[i].alias("w1"), F.col("w")[i + 1].alias("w2")
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cnts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = cnts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    p = cnts.join(ctx, "w1").select(
+        "w1", "w2", (F.col("c12") / F.col("c1")).alias("pw")
+    )
+    return (
+        bg.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log2(F.col("pw"))), 6).alias("bits_per_bigram"),
+        )
+    )

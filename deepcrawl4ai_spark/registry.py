@@ -3183,6 +3183,36 @@ _q(
 )
 
 
+
+_q(
+    "text_bigram_logprob",
+    X.text_bigram_logprob,
+    """
+    WITH arr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg0 AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 2
+                    THEN list_transform(generate_series(1, len(w) - 1),
+                           i -> {'w1': w[i], 'w2': w[i+1]})
+                    ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[])
+                    END) AS b
+      FROM arr
+    ),
+    bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+    cnts AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cnts GROUP BY w1),
+    p AS (
+      SELECT cnts.w1, w2, CAST(c12 AS DOUBLE) / c1 AS pw
+      FROM cnts JOIN ctx ON cnts.w1 = ctx.w1
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-log2(pw)), 6) AS bits_per_bigram
+    FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+    GROUP BY doc_id
+    """,
+)
+
+
 # --- driver-window ordering + scale-safety tags --------------------------------
 #
 # The driver's correctness harness checks only the FIRST 50 registered
@@ -3218,6 +3248,11 @@ SCALE_BASELINES: dict[str, str] = {
 }
 
 _DRIVER_WINDOW = [
+    # new r06 batch 8: the bigram-LM gate (hash-joined probability dim —
+    # the bigram vocab is never broadcast). Demoted: decontaminate_ngrams
+    # (the apply twin embeds gram detection; stays green in FULL).
+    "text_bigram_logprob",
+
     # new r06 batch 7: hybrid lexical+vector retrieval via reciprocal rank
     # fusion. Demoted: tpch_q1 (long-stable r02-green generic aggregate;
     # the A-family keeps a9_percentiles_approx / a10 / a11 / a12 in-window;
@@ -3323,7 +3358,6 @@ _DRIVER_WINDOW = [
     # r04 window, retained
     "decontaminate_apply",
     "a9_percentiles_approx",
-    "decontaminate_ngrams",
     "c2_pruning_filter",
     "c7_selector_inference",
     # §2 / scale-path representatives (long-stable, r02+r03-green)

@@ -228,6 +228,11 @@ CHECKS = {
         "BroadcastNestedLoopJoin Cross",
         "!CartesianProduct",
     ],
+    # r06 batch 8: bigram LM — the probability dim must stay a hash/sort
+    # equi-join (the bigram vocab is corpus-sized: broadcasting it is the
+    # anti-pattern), so BroadcastNestedLoopJoin is forbidden outright
+    "text_bigram_logprob": ["HashAggregate", "!CartesianProduct",
+                            "!BroadcastNestedLoopJoin"],
 }
 
 
