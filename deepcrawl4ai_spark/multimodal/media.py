@@ -185,6 +185,14 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG0
         tempfile.gettempdir(),
         f"dc4ai_media_features_blobs_{spark.sparkContext.applicationId}",
     )
+    # the returned DataFrame is lazy, so the directory must outlive this
+    # call — clean it at interpreter exit instead (ADVICE r6: the
+    # applicationId key fixed the cross-session race but leaked one blob
+    # dir per application into tempdir)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     B.put_blobs(media.select("media_ref", "payload"), path, part_bytes=64)
     whole = (
         B.read_blobs(spark, path)

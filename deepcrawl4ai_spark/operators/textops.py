@@ -452,8 +452,13 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMPERATURE_ALPHA = 0.3  # XLM-R's production value; the oracle SQL in
+# registry.py is f-strung from THIS constant so the two sides can never
+# drift (ADVICE r6 — the oracle used to hardcode the exponent 0.7)
+
+
 def sample_temperature(spark: SparkSession, sf_dir: str,
-                       alpha: float = 0.3) -> DataFrame:
+                       alpha: float = TEMPERATURE_ALPHA) -> DataFrame:
     """Temperature-scaled mixture sampling (the published multilingual
     alpha-sampling step — mC4 / XLM-R, public: component share q_l ∝ p_l^α
     with α ∈ (0, 1), upweighting tail components without flattening to
@@ -1045,11 +1050,16 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     cnts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     ctx = cnts.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    p = cnts.join(ctx, "w1").select(
+    # shuffle_hash hints (ADVICE r6): the "never broadcast" promise was
+    # previously only a !BroadcastNestedLoopJoin needle, which an
+    # auto-planned BroadcastHashJoin at audit SF would satisfy — the hint
+    # makes the scale shape (ShuffledHashJoin on the corpus-sized dim)
+    # hold at EVERY SF, so audit_plans can pin it positively
+    p = cnts.join(ctx.hint("shuffle_hash"), "w1").select(
         "w1", "w2", (F.col("c12") / F.col("c1")).alias("pw")
     )
     return (
-        bg.join(p, ["w1", "w2"])
+        bg.join(p.hint("shuffle_hash"), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

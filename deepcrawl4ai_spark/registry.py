@@ -2274,7 +2274,10 @@ def _clustered_recall_sql() -> str:
            COALESCE(h2, 0) AS hits_p2,
            round(CAST(COALESCE(h2, 0) AS DOUBLE) / n_exact, 6) AS recall_p2,
            COALESCE(h2, 0) >= COALESCE(h1, 0) AS monotone_ok,
-           round(CAST(COALESCE(h2, 0) AS DOUBLE) / n_exact, 6) >= 8e-1 AS floor_ok
+           -- literal TRUE (the a12_distinct_users_hll pattern, ADVICE r6):
+           -- the Spark side computes floor_ok = recall_p2 >= 0.8, so a real
+           -- floor breach hash-mismatches here instead of agreeing silently
+           TRUE AS floor_ok
     FROM base LEFT JOIN h1 ON base.qid = h1.qid LEFT JOIN h2 ON base.qid = h2.qid
     """
 
@@ -2682,13 +2685,14 @@ _q("host_hits", G.host_hits, """
 _q(
     "sample_temperature",
     X.sample_temperature,
-    """
+    f"""
     WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
     m AS (SELECT min(n_lang) AS n_min FROM c),
     r AS (
       SELECT lang, n_lang,
              round(pow(round(CAST(n_min AS DOUBLE) / n_lang, 6),
-                       CAST(0.7 AS DOUBLE)), 6) AS keep_rate
+                       CAST({1.0 - X.TEMPERATURE_ALPHA} AS DOUBLE)), 6)
+               AS keep_rate
       FROM c CROSS JOIN m
     ),
     d AS (

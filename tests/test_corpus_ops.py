@@ -189,3 +189,17 @@ def test_winnow_pairs_catch_exact_dups(spark):
         ids = sorted(g["ids"])
         for i in range(len(ids) - 1):
             assert (ids[i], ids[i + 1]) in pairs, ids
+
+
+def test_clustered_recall_floor_enforced(spark):
+    """ADVICE r6: the 0.8 recall floor on the separable fixture must be a
+    real assertion — the oracle now emits literal TRUE for floor_ok, and
+    this test fails loudly if the fixture's probe-2 recall ever regresses
+    below the floor (e.g. a CLUSTERED_SEED_MOD / fixture-constant change)."""
+    from deepcrawl4ai_spark.operators.similarity import ann_recall_clustered
+
+    rows = ann_recall_clustered(spark, SF_SMALL).collect()
+    assert rows, "clustered recall fixture returned no query rows"
+    assert all(r["floor_ok"] for r in rows), [
+        (r["qid"], r["recall_p2"]) for r in rows if not r["floor_ok"]
+    ]

@@ -228,11 +228,13 @@ CHECKS = {
         "BroadcastNestedLoopJoin Cross",
         "!CartesianProduct",
     ],
-    # r06 batch 8: bigram LM — the probability dim must stay a hash/sort
-    # equi-join (the bigram vocab is corpus-sized: broadcasting it is the
-    # anti-pattern), so BroadcastNestedLoopJoin is forbidden outright
-    "text_bigram_logprob": ["HashAggregate", "!CartesianProduct",
-                            "!BroadcastNestedLoopJoin"],
+    # r06 batch 8: bigram LM — the probability dim is corpus-sized, so it
+    # must NEVER be broadcast; the operator pins the shape with explicit
+    # shuffle_hash hints (ADVICE r6), letting us assert it positively at
+    # audit SF instead of only forbidding the nested-loop variant
+    "text_bigram_logprob": ["HashAggregate", "ShuffledHashJoin",
+                            "!CartesianProduct", "!BroadcastNestedLoopJoin",
+                            "!BroadcastHashJoin"],
 }
 
 
@@ -284,8 +286,11 @@ def main() -> None:
         lines.append("```")
         # scrub session-varying counters (plan_id, Catalyst exprIds) so the
         # committed file is byte-stable across regens (--check depends on it)
+        # scrub FIRST, truncate AFTER (ADVICE r6): exprId digit-width drift
+        # (#987 vs #1023) must not shift the truncation point, or --check
+        # reports a spurious STALE across sessions
         lines.extend(
-            re.sub(r"#\d+", "#N", re.sub(r"plan_id=\d+", "plan_id=N", ln.strip()[:160]))
+            re.sub(r"#\d+", "#N", re.sub(r"plan_id=\d+", "plan_id=N", ln.strip()))[:160]
             for ln in interesting
         )
         lines.append("```")
