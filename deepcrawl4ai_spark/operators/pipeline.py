@@ -349,3 +349,156 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((cum - F.col("n_tokens")) / PACK_BUDGET).cast("int").alias("pack_id"),
     )
     return manifest.crossJoin(F.broadcast(counts))
+
+
+def corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 funnel — DCLM-flavored: the learned classifier gate
+    replaces the heuristic quality stages, composed with the same
+    single-registered-query rationale as corpus_pipeline / _v2
+    (cross-operator composition bugs are invisible to per-op oracles):
+
+        documents
+          → character-entropy gate   (text_entropy_filter: H≥3 ∧ ≥20 chars)
+          → learned quality gate     (quality_classifier's one-step LR,
+                                      TRAINED ON THE ENTROPY SURVIVORS —
+                                      the population-dependent stage: the
+                                      gradient, totals and keep decision
+                                      all shift with the stage-1 cut)
+          → near-dup cut             (dedup_minhash_apply's removal list,
+                                      corpus-wide — RefinedWeb ordering)
+          → temperature sampling     (sample_temperature's alpha-rule with
+                                      per-lang counts from the POPULATION
+                                      surviving stages 1-3)
+          → sequence packing         (greedy 4096 budget)
+
+    Output: the training-shard manifest (doc_id, lang, n_tokens, pack_id)
+    with funnel counts n_input ≥ n_entropy ≥ n_clf ≥ n_dedup ≥ n_final
+    broadcast onto every row so the hash verifies the whole funnel.
+
+    Scale shape: entropy = two partial aggs; the classifier is one
+    (doc_id, bucket) shuffle + a 64-row broadcast gradient (exact-integer
+    keep decision — quality_classifier's docstring); the dedup list is the
+    clusters_lp shape; temperature is a per-lang tiny agg broadcast back;
+    packing one window. Stages share scans; no all-pairs op in the path."""
+    from deepcrawl4ai_spark.operators.dedup import dedup_clusters_lp
+    from deepcrawl4ai_spark.operators.textops import (
+        TEMPERATURE_ALPHA,
+        _classifier_dot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+
+    # --- stage 1: entropy gate (text_entropy_filter's arithmetic) ---
+    ch = docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+    per = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    nch = per.groupBy("doc_id").agg(F.sum("cnt").alias("n_chars_t"))
+    pc = F.col("cnt") / F.col("n_chars_t")
+    ent = (
+        per.join(nch, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(pc * F.log2(pc)), 6).alias("h"))
+        .join(nch, "doc_id")
+        .select(
+            "doc_id",
+            ((F.col("h") >= 3.0) & (F.col("n_chars_t") >= 20)).alias("ent_ok"),
+        )
+    )
+
+    # --- stage 2: learned gate trained on the entropy SURVIVORS ---
+    surv1 = docs.join(ent.filter(F.col("ent_ok")), "doc_id").select(
+        "doc_id", "lang", "text"
+    )
+    clf = _classifier_dot(surv1).select(
+        "doc_id", (F.col("dot_int") >= 0).alias("clf_ok")
+    )
+
+    # --- stage 3: corpus-wide near-dup removal list (minhash apply) ---
+    removed = (
+        dedup_clusters_lp(spark, sf_dir)
+        .filter(F.col("cluster") != F.col("doc_id"))
+        .select("doc_id", F.lit(True).alias("_dup"))
+    )
+
+    flags = (
+        docs.select("doc_id", "lang", n_words.cast("long").alias("n_tokens"))
+        .join(ent, "doc_id")
+        .join(clf, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "ent_ok",
+            (F.col("ent_ok") & F.coalesce(F.col("clf_ok"), F.lit(False))).alias(
+                "clf_sv"
+            ),
+            F.col("_dup").isNull().alias("nodup"),
+        )
+        # one materialization shared by counts, the temperature stage and
+        # the manifest (the corpus_pipeline localCheckpoint-not-persist
+        # rationale)
+        .localCheckpoint()
+    )
+    dedup_sv = F.col("clf_sv") & F.col("nodup")
+
+    # --- stage 4: temperature sampling on the stage-3 POPULATION ---
+    s3 = flags.filter(dedup_sv)
+    lc = s3.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    n_min = lc.agg(F.min("n_lang").alias("n_min"))
+    rates = lc.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.round(
+            F.pow(
+                F.round(F.col("n_min") / F.col("n_lang"), 6),
+                F.lit(1.0 - TEMPERATURE_ALPHA),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    draw = F.round(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        )
+        / 10000.0,
+        6,
+    )
+    sampled = (
+        s3.join(F.broadcast(rates), "lang")
+        .withColumn("draw", draw)
+        .filter(F.col("draw") < F.col("keep_rate"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+    counts_base = flags.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("ent_ok").cast("long")).alias("n_entropy"),
+        F.sum(F.col("clf_sv").cast("long")).alias("n_clf"),
+        F.sum(dedup_sv.cast("long")).alias("n_dedup"),
+    )
+    n_final = sampled.agg(F.count("*").alias("n_final"))
+    counts = counts_base.crossJoin(n_final)
+
+    # --- stage 5: greedy packing over the final survivors ---
+    wp = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(wp)
+    manifest = sampled.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / PACK_BUDGET).cast("int").alias("pack_id"),
+    )
+    return manifest.crossJoin(F.broadcast(counts))

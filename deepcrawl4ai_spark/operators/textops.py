@@ -1066,3 +1066,124 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log2(F.col("pw"))), 6).alias("bits_per_bigram"),
         )
     )
+
+
+# hashed-feature dimensionality and score scale for quality_classifier;
+# the oracle SQL in registry.py is f-strung from THESE constants so the
+# two sides can never drift (the TEMPERATURE_ALPHA convention)
+QC_BUCKETS = 64
+QC_ETA = 2000.0
+
+
+def _classifier_dot(docs: DataFrame) -> DataFrame:
+    """Shared core of quality_classifier: given a (doc_id, lang, text)
+    frame, return (doc_id, n_words, dot_int, t_tokens) — the exact-integer
+    linear response of the one-step centered-label LR over hashed
+    bag-of-words counts. Factored out so corpus_pipeline_v3 can train the
+    SAME classifier on a survivor population (the population-dependent
+    stage pattern)."""
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+            % QC_BUCKETS
+        ).alias("bucket"),
+    )
+    tf = words.groupBy("doc_id", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    bucket_cnt = words.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("cnt_all"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_en"),
+    )
+    tot = bucket_cnt.agg(
+        F.sum("cnt_all").cast("long").alias("t_tokens"),
+        F.sum("cnt_en").cast("long").alias("t_en"),
+    )
+    # centered-label gradient, scaled by T to stay integer: per en token the
+    # residual (1 - ybar) = (T - T_en)/T, per non-en token -ybar = -T_en/T;
+    # g_j = (T - T_en)*cnt_en_j - T_en*(cnt_j - cnt_en_j) is T * the real
+    # gradient — exact BIGINT (|g| <= T^2, |dot| <= T^2 * doc_len: 2.5e16 at
+    # sf0.1, far inside int64; at true 100-TB token counts pre-divide by a
+    # power of 2 before the product)
+    grad = bucket_cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            (F.col("t_tokens") - F.col("t_en")) * F.col("cnt_en")
+            - F.col("t_en") * (F.col("cnt_all") - F.col("cnt_en"))
+        ).alias("g"),
+    )
+    per_doc = (
+        tf.join(F.broadcast(grad), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("g") * F.col("cnt")).cast("long").alias("dot_int"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id", "n_words", "dot_int", "t_tokens"
+    )
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCLM-Baseline-style learned quality gate (Li et al. 2024, public:
+    a fastText-class linear classifier over hashed bag-of-words features
+    is the single highest-leverage curation step in the DCLM ablation).
+    Closed deterministic form: features are hashed bag-of-words counts
+    (md5 → one of QC_BUCKETS buckets), the weight vector is ONE gradient
+    step of logistic regression from zero init against the y = (lang='en')
+    label with CENTERED labels (y - ybar, the standard class-imbalance
+    fix — en is a minority slice, so raw 0/1 labels would push every
+    weight negative and keep nothing): at w = 0 the residual is y - ybar,
+    and scaling by T = total corpus tokens makes the per-token weight
+    (T - T_en) for en tokens and -T_en otherwise — an EXACT INTEGER
+    corpus reduction (no float summation-order drift, the
+    percent_rank-trick spirit). Per-doc score = sigma(eta * <g, cnt> /
+    (2 * T^2 * n_words)) (the T^2 undoes the integer scaling, n_words is
+    per-doc length normalization); kept = dot_int >= 0
+    — the sigmoid threshold at 1/2 decided purely in integers, so the
+    keep decision is bit-identical across engines by construction. The
+    raw linear response is pre-rounded to 6dp before the sigmoid on both
+    sides (the sample_temperature pow convention) so a 1-ulp libm exp
+    divergence can never cross the output rounding boundary.
+
+    Scale shape: scan → ONE corpus shuffle on (doc_id, bucket) for the
+    count features; the gradient is a QC_BUCKETS-row partial agg (64 rows
+    at 100 TB) broadcast back; the dot product and doc length fold out of
+    the SAME tf frame (no second corpus pass); no window, no pair space.
+    Reference parity: deepcrawl4ai has no learned gate — this extends the
+    quality family (Gopher/entropy/CCNet/DSIR) with the classifier step a
+    production curation pipeline runs between them and sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _classifier_dot(docs).select(
+        "doc_id",
+        "n_words",
+        "dot_int",
+        F.round(
+            F.lit(QC_ETA)
+            * F.col("dot_int")
+            / (
+                F.lit(2.0)
+                * F.col("t_tokens")
+                * F.col("t_tokens")
+                * F.col("n_words")
+            ),
+            6,
+        ).alias("linear_r"),
+    )
+    return scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "dot_int",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("linear_r"))), 6).alias(
+            "score"
+        ),
+        (F.col("dot_int") >= 0).alias("kept"),
+    )

@@ -3217,6 +3217,174 @@ _q(
 )
 
 
+_q(
+    "quality_classifier",
+    X.quality_classifier,
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+               % {X.QC_BUCKETS} AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+    ),
+    tf AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM w GROUP BY doc_id, bucket
+    ),
+    bc AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_all,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_en
+      FROM w GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt_all) AS BIGINT) AS t_tokens,
+             CAST(sum(cnt_en) AS BIGINT) AS t_en
+      FROM bc
+    ),
+    grad AS (
+      SELECT bucket,
+             CAST((t_tokens - t_en) * cnt_en
+                  - t_en * (cnt_all - cnt_en) AS BIGINT) AS g
+      FROM bc CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.cnt) AS BIGINT) AS n_words,
+             CAST(sum(grad.g * tf.cnt) AS BIGINT) AS dot_int
+      FROM tf JOIN grad USING (bucket) GROUP BY tf.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, n_words, dot_int,
+             round({X.QC_ETA} * dot_int
+                   / (2.0 * t_tokens * t_tokens * n_words), 6) AS linear_r
+      FROM per_doc CROSS JOIN tot
+    )
+    SELECT s.doc_id, d.lang, s.n_words, s.dot_int,
+           round(1.0 / (1.0 + exp(-s.linear_r)), 6) AS score,
+           s.dot_int >= 0 AS kept
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    """,
+)
+
+
+_q(
+    "corpus_pipeline_v3",
+    PL.corpus_pipeline_v3,
+    f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    cper AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+    cn AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_t
+      FROM cper GROUP BY doc_id
+    ),
+    ce AS (
+      SELECT cper.doc_id,
+             round(-sum((CAST(cnt AS DOUBLE) / n_chars_t)
+                        * log2(CAST(cnt AS DOUBLE) / n_chars_t)), 6) AS h
+      FROM cper JOIN cn USING (doc_id) GROUP BY cper.doc_id
+    ),
+    ent AS (
+      SELECT ce.doc_id,
+             (h >= CAST(3.0 AS DOUBLE) AND n_chars_t >= 20) AS ent_ok
+      FROM ce JOIN cn USING (doc_id)
+    ),
+    surv1 AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN ent ON d.doc_id = ent.doc_id WHERE ent_ok
+    ),
+    qw AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+               % {X.QC_BUCKETS} AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+            FROM surv1)
+    ),
+    qtf AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM qw GROUP BY doc_id, bucket
+    ),
+    qbc AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_all,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_en
+      FROM qw GROUP BY bucket
+    ),
+    qtot AS (
+      SELECT CAST(sum(cnt_all) AS BIGINT) AS t_tokens,
+             CAST(sum(cnt_en) AS BIGINT) AS t_en
+      FROM qbc
+    ),
+    qgrad AS (
+      SELECT bucket,
+             CAST((t_tokens - t_en) * cnt_en
+                  - t_en * (cnt_all - cnt_en) AS BIGINT) AS g
+      FROM qbc CROSS JOIN qtot
+    ),
+    clf AS (
+      SELECT qtf.doc_id,
+             CAST(sum(qgrad.g * qtf.cnt) AS BIGINT) >= 0 AS clf_ok
+      FROM qtf JOIN qgrad USING (bucket) GROUP BY qtf.doc_id
+    ),
+    removed AS (
+      SELECT doc_id FROM (
+    """
+    + _clusters_lp_sql()
+    + f"""
+      ) lp WHERE cluster <> doc_id
+    ),
+    flags AS (
+      SELECT d.doc_id, d.lang,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             ent.ent_ok,
+             (ent.ent_ok AND COALESCE(clf.clf_ok, FALSE)) AS clf_sv,
+             removed.doc_id IS NULL AS nodup
+      FROM documents d
+      JOIN ent ON d.doc_id = ent.doc_id
+      LEFT JOIN clf ON d.doc_id = clf.doc_id
+      LEFT JOIN removed ON d.doc_id = removed.doc_id
+    ),
+    s3 AS (SELECT * FROM flags WHERE clf_sv AND nodup),
+    lc AS (SELECT lang, count(*) AS n_lang FROM s3 GROUP BY lang),
+    mn AS (SELECT min(n_lang) AS n_min FROM lc),
+    rates AS (
+      SELECT lang,
+             round(pow(round(CAST(n_min AS DOUBLE) / n_lang, 6),
+                       CAST({1.0 - X.TEMPERATURE_ALPHA} AS DOUBLE)), 6)
+               AS keep_rate
+      FROM lc CROSS JOIN mn
+    ),
+    sampled AS (
+      SELECT s3.doc_id, s3.lang, s3.n_tokens
+      FROM s3 JOIN rates USING (lang)
+      WHERE round((CAST(('0x' || substr(md5(CAST(s3.doc_id AS VARCHAR)
+                                            || ':temp'), 1, 8)) AS BIGINT)
+                   % 10000) / CAST(10000.0 AS DOUBLE), 6) < keep_rate
+    ),
+    counts AS (
+      SELECT count(*) AS n_input,
+             count(*) FILTER (WHERE ent_ok) AS n_entropy,
+             count(*) FILTER (WHERE clf_sv) AS n_clf,
+             count(*) FILTER (WHERE clf_sv AND nodup) AS n_dedup
+      FROM flags
+    ),
+    fin AS (SELECT count(*) AS n_final FROM sampled),
+    pk AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) / 4096) AS INT) AS pack_id
+      FROM sampled
+    )
+    SELECT pk.*, n_input, n_entropy, n_clf, n_dedup, n_final
+    FROM pk CROSS JOIN counts CROSS JOIN fin
+    """,
+)
+
+
 # --- driver-window ordering + scale-safety tags --------------------------------
 #
 # The driver's correctness harness checks only the FIRST 50 registered

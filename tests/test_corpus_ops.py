@@ -203,3 +203,29 @@ def test_clustered_recall_floor_enforced(spark):
     assert all(r["floor_ok"] for r in rows), [
         (r["qid"], r["recall_p2"]) for r in rows if not r["floor_ok"]
     ]
+
+
+def test_quality_classifier_separates_target(spark):
+    """The one-step centered-label LR must actually discriminate: en docs
+    (the training label) should be kept at a strictly higher rate than
+    non-en docs, and the keep decision must equal the sign of the exact
+    integer linear response."""
+    from deepcrawl4ai_spark.operators.textops import quality_classifier
+
+    rows = quality_classifier(spark, SF_SMALL).collect()
+    kept_en = [r["kept"] for r in rows if r["lang"] == "en"]
+    kept_other = [r["kept"] for r in rows if r["lang"] != "en"]
+    assert sum(kept_en) / len(kept_en) > sum(kept_other) / len(kept_other)
+    assert all(r["kept"] == (r["dot_int"] >= 0) for r in rows)
+
+
+def test_pipeline_v3_funnel_monotone(spark):
+    """Funnel counts must be monotone non-increasing and the manifest rows
+    must equal n_final (the composition contract the per-op oracles can't
+    see)."""
+    from deepcrawl4ai_spark.operators.pipeline import corpus_pipeline_v3
+
+    rows = corpus_pipeline_v3(spark, SF_SMALL).collect()
+    r = rows[0]
+    assert r["n_input"] >= r["n_entropy"] >= r["n_clf"] >= r["n_dedup"] >= r["n_final"]
+    assert len(rows) == r["n_final"]

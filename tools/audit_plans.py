@@ -235,6 +235,27 @@ CHECKS = {
     "text_bigram_logprob": ["HashAggregate", "ShuffledHashJoin",
                             "!CartesianProduct", "!BroadcastNestedLoopJoin",
                             "!BroadcastHashJoin"],
+    # r07: DCLM-style learned quality gate — the 64-row gradient dim and the
+    # 1-row totals must be broadcast (explicit F.broadcast + cross), the only
+    # corpus shuffle is the (doc_id, bucket) feature agg; a sort-merge join
+    # anywhere means the dim broadcast regressed
+    "quality_classifier": [
+        "HashAggregate",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin Cross",
+        "!CartesianProduct",
+        "!SortMergeJoin",
+    ],
+    # r07: v3 funnel — same shape promises as v2 (the clusters_lp stage may
+    # sort-merge its band self-join, so SMJ is not forbidden); the flags
+    # frame is localCheckpointed mid-plan, so needles only see the
+    # temperature + packing tail plus the counts broadcasts
+    "corpus_pipeline_v3": [
+        "HashAggregate",
+        "Window",
+        "BroadcastNestedLoopJoin Cross",
+        "!CartesianProduct",
+    ],
 }
 
 
