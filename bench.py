@@ -101,6 +101,10 @@ EXTRAS = [
     "dedup_winnow_pairs",
     "search_hybrid_rrf",
     "text_bigram_logprob",
+    # r07: DCLM-style learned gate, the v3 funnel, SemDeDup on trained cells
+    "quality_classifier",
+    "corpus_pipeline_v3",
+    "dedup_semantic_trained",
 ]
 
 FRONTIER_SEEDS = 2000

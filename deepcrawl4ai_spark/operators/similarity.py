@@ -244,14 +244,15 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- k-means training (the IVF centroids, learned instead of sampled) ---------
 
 
-def _assign_to_seed_centroids(emb: DataFrame) -> DataFrame:
+def _assign_to_seed_centroids(emb: DataFrame, seed_mod: int = 50) -> DataFrame:
     """Argmax-cosine assignment against the IVF seed centroids
-    (vec_id % 50 == 0) — broadcast centroids, deterministic cid tie-break.
-    Shared by the oracle-checked single Lloyd step and ann_ivf_assign."""
+    (vec_id % seed_mod == 0) — broadcast centroids, deterministic cid
+    tie-break. Shared by the oracle-checked single Lloyd step and
+    ann_ivf_assign."""
     e = emb.select(
         "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nrm")
     )
-    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+    cents = e.filter(F.col("vec_id") % seed_mod == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
     cos_c = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
@@ -262,6 +263,47 @@ def _assign_to_seed_centroids(emb: DataFrame) -> DataFrame:
         .withColumn("rk", F.row_number().over(w1))
         .filter(F.col("rk") == 1)
         .select("vec_id", "v", "cid")
+    )
+
+
+def _lloyd_trained_centroids(emb: DataFrame, seed_mod: int = 50) -> DataFrame:
+    """One Lloyd step from the vec_id % seed_mod seed sample, returned as
+    (cid, cv array<double>, cn norm) ready for a broadcast reassignment.
+    The per-dim means are rounded to 4dp (+0.0 kills IEEE -0.0) BEFORE any
+    downstream dot, so the trained centroids are bit-identical across
+    engines regardless of summation order — dedup_semantic_trained's
+    cross-engine determinism rests on this. One (cid, dim) partial-agg
+    shuffle + a k-row rebuild; k stays broadcast-sized."""
+    return (
+        _assign_to_seed_centroids(emb, seed_mod)
+        .select("cid", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg((F.round(F.avg(F.col("val").cast("double")), 4) + F.lit(0.0)).alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+        .select("cid", "cv", _norm(F.col("cv")).alias("cn"))
+    )
+
+
+def _assign_to_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmax-cosine assignment of every vector against an arbitrary
+    (cid, cv, cn) centroid dim (broadcast) — returns
+    (vec_id, cid, v, nrm). The trained twin of _assign_to_seed_centroids."""
+    e = emb.select(
+        "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nrm")
+    )
+    cos_c = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    w1 = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", "cid", cos_c.alias("cos_c"))
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid", "v", "nrm")
     )
 
 

@@ -2893,6 +2893,86 @@ _q(
     """,
 )
 
+# r07: SemDeDup on TRAINED cells — the oracle embeds one full Lloyd step
+# (ann_kmeans_update's exact update: seed-assign -> per-dim round(avg,4)+0.0
+# means -> centroid rebuild) and then the whole SemDeDup chain on the
+# trained cells. The 4dp rounding before reassignment is what makes the
+# trained centroids bit-identical across engines; dots/norms fold the same
+# lists in index order on both sides.
+_q(
+    "dedup_semantic_trained",
+    D.dedup_semantic_trained,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0
+    ),
+    scored0 AS (
+      SELECT e.vec_id, cents.cid,
+             {_DOT.format(a='e.v', b='cents.cv')} / (e.nrm * cents.cn)
+               AS cos_raw
+      FROM e CROSS JOIN cents
+    ),
+    assigned0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_raw DESC, cid ASC) AS rk
+        FROM scored0
+      ) WHERE rk = 1
+    ),
+    av0 AS (
+      SELECT a.cid, e.v FROM assigned0 a JOIN e ON a.vec_id = e.vec_id
+    ),
+    expl AS (
+      SELECT cid, CAST(i - 1 AS INT) AS dim, CAST(v[i] AS DOUBLE) AS val
+      FROM av0, generate_series(1, 64) AS t(i)
+    ),
+    trained0 AS (
+      SELECT cid, dim, round(avg(val), 4) + 0.0 AS m
+      FROM expl GROUP BY cid, dim
+    ),
+    tc AS (
+      SELECT cid, list(m ORDER BY dim) AS cv FROM trained0 GROUP BY cid
+    ),
+    tcn AS (
+      SELECT cid, cv, sqrt({_DOT.format(a='cv', b='cv')}) AS cn FROM tc
+    ),
+    scored AS (
+      SELECT e.vec_id, t.cid,
+             {_DOT.format(a='e.v', b='t.cv')} / (e.nrm * t.cn) AS cos_raw
+      FROM e CROSS JOIN tcn t
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_raw DESC, cid ASC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    av AS (
+      SELECT a.vec_id, a.cid, e.v, e.nrm
+      FROM assigned a JOIN e ON a.vec_id = e.vec_id
+    ),
+    flagged AS (
+      SELECT b.vec_id AS vec_id, b.cid AS cid, a.vec_id AS partner,
+             round({_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6)
+               AS cosine
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id, cid, partner, cosine FROM (
+      SELECT vec_id, cid, partner, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY partner ASC) AS rk
+      FROM flagged WHERE cosine >= CAST(0.3 AS DOUBLE)
+    ) WHERE rk = 1
+    """,
+)
 
 
 _q(
@@ -3420,6 +3500,18 @@ SCALE_BASELINES: dict[str, str] = {
 }
 
 _DRIVER_WINDOW = [
+    # new r07: the DCLM-style learned quality gate, the v3 funnel that
+    # trains it on the entropy survivors, and SemDeDup on TRAINED cells
+    # (oracle embeds one full Lloyd step + the SemDeDup chain). Demoted
+    # under the subsumption rule (each stays green in CORRECTNESS_FULL):
+    # text_entropy_filter (corpus_pipeline_v3's stage-1 oracle embeds the
+    # entropy-gate chain verbatim), corpus_pipeline (v1; family keeps v2 +
+    # v3 in-window), dedup_semantic (the trained row embeds the Lloyd
+    # step and the same per-cell sweep on the trained cells).
+    "quality_classifier",
+    "corpus_pipeline_v3",
+    "dedup_semantic_trained",
+
     # new r06 batch 8: the bigram-LM gate (hash-joined probability dim —
     # the bigram vocab is never broadcast). Demoted: decontaminate_ngrams
     # (the apply twin embeds gram detection; stays green in FULL).
@@ -3453,7 +3545,6 @@ _DRIVER_WINDOW = [
     # keeps ivf/lsh/pq + both clustered recall rows); all three stay green
     # in CORRECTNESS_FULL.
     "sample_dsir",
-    "text_entropy_filter",
 
     # new r06 batch 3: the CCNet perplexity tercile cut (subsumes
     # text_unigram_logprob — same scorer CTE plus the per-lang split; the
@@ -3464,7 +3555,6 @@ _DRIVER_WINDOW = [
     # baseline dedup_ngram_jaccard is demoted — twin stays in-window).
     "sample_perplexity_buckets",
     "dedup_minhash_apply",
-    "dedup_semantic",
 
     # new r06 batch 2: HITS hubs/authorities (link-analysis family beside
     # host_pagerank), temperature/alpha mixture sampling (mC4/XLM-R), and
@@ -3485,10 +3575,9 @@ _DRIVER_WINDOW = [
     # stay in CORRECTNESS_FULL every round.
     "ann_recall_clustered",
     "ann_recall_pq_clustered",
-    # new r05: the end-to-end corpus funnel, the multimodal
-    # family's first CORRECTNESS row, measured-recall panels, and the two
-    # tokenizer/LM-gate ops
-    "corpus_pipeline",
+    # new r05: the multimodal family's first CORRECTNESS row,
+    # measured-recall panels, and the two tokenizer/LM-gate ops
+    # (corpus_pipeline v1 demoted r07 — family keeps v2 + v3 in-window)
     "media_features",
     "ann_recall_panel",
     "bpe_merges",

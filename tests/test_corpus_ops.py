@@ -229,3 +229,79 @@ def test_pipeline_v3_funnel_monotone(spark):
     r = rows[0]
     assert r["n_input"] >= r["n_entropy"] >= r["n_clf"] >= r["n_dedup"] >= r["n_final"]
     assert len(rows) == r["n_final"]
+
+
+def test_semantic_trained_invariants(spark):
+    """dedup_semantic_trained (r07): removal rows are well-formed
+    (partner < vec_id, cosine over threshold), and the trained cell
+    structure is a real refinement — one Lloyd step moves at least one
+    vector between cells on the sf0.001 corpus (otherwise the row would
+    just be dedup_semantic again)."""
+    from deepcrawl4ai_spark.operators.dedup import dedup_semantic_trained
+    from deepcrawl4ai_spark.operators.similarity import (
+        _assign_to_centroids,
+        _assign_to_seed_centroids,
+        _lloyd_trained_centroids,
+    )
+    from deepcrawl4ai_spark.sources.tables import load_table
+
+    for r in dedup_semantic_trained(spark, SF_SMALL).collect():
+        assert r["partner"] < r["vec_id"]
+        assert r["cosine"] >= 0.3
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    seed = {
+        r["vec_id"]: r["cid"]
+        for r in _assign_to_seed_centroids(emb).select("vec_id", "cid").collect()
+    }
+    trained = {
+        r["vec_id"]: r["cid"]
+        for r in _assign_to_centroids(emb, _lloyd_trained_centroids(emb))
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert set(seed) == set(trained)
+    assert sum(1 for k in seed if seed[k] != trained[k]) > 0
+
+
+def test_trained_cells_on_clustered_fixture(spark):
+    """VERDICT r6 #4 measurement: on the SEPARABLE clustered fixture, one
+    Lloyd step from the mod-61 seed sample must improve (or preserve)
+    cell purity — the fraction of vectors whose cell-majority true label
+    matches their own — and must not blow up the blocked pair space
+    sum(|cell| choose 2) that SemDeDup sweeps. The measured pair is
+    recorded in COVERAGE.md's scale table."""
+    from deepcrawl4ai_spark.operators.similarity import (
+        CLUSTERED_SEED_MOD,
+        K_CLUSTERS,
+        _assign_to_centroids,
+        _assign_to_seed_centroids,
+        _lloyd_trained_centroids,
+        synth_clustered_embeddings,
+    )
+
+    emb = synth_clustered_embeddings(spark)
+
+    def stats(assigned):
+        rows = assigned.select("vec_id", "cid").collect()
+        cells: dict[int, list[int]] = {}
+        for r in rows:
+            cells.setdefault(r["cid"], []).append(r["vec_id"] % K_CLUSTERS)
+        pair_space = sum(len(v) * (len(v) - 1) // 2 for v in cells.values())
+        pure = sum(
+            max(v.count(lbl) for lbl in set(v)) for v in cells.values()
+        ) / sum(len(v) for v in cells.values())
+        return pair_space, pure
+
+    ps_seed, pur_seed = stats(_assign_to_seed_centroids(emb, CLUSTERED_SEED_MOD))
+    ps_tr, pur_tr = stats(
+        _assign_to_centroids(
+            emb, _lloyd_trained_centroids(emb, CLUSTERED_SEED_MOD)
+        )
+    )
+    print(
+        f"clustered fixture: pair_space seed={ps_seed} trained={ps_tr}, "
+        f"purity seed={pur_seed:.3f} trained={pur_tr:.3f}"
+    )
+    assert pur_tr >= pur_seed
+    assert ps_tr <= ps_seed * 2

@@ -256,6 +256,18 @@ CHECKS = {
         "BroadcastNestedLoopJoin Cross",
         "!CartesianProduct",
     ],
+    # r07: SemDeDup on trained cells — the Lloyd step is one (cid, dim)
+    # partial agg + a k-row centroid rebuild, both broadcast back over the
+    # scan for the reassignment cross; the per-cell pair join must stay an
+    # equi-join on cid (keeper election is the struct-min SortAggregate,
+    # same as dedup_semantic)
+    "dedup_semantic_trained": [
+        "SortAggregate",
+        "HashAggregate",
+        "BroadcastNestedLoopJoin Cross",
+        "!CartesianProduct",
+        "!BroadcastNestedLoopJoin Inner",
+    ],
 }
 
 
