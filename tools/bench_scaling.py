@@ -226,6 +226,35 @@ def main() -> None:
                 for m in metrics
             ],
         }
+        # driver-side memory ceiling evidence (VERDICT r6 #2): peak RSS of
+        # this python driver and of the live driver JVM (VmHWM from /proc —
+        # RUSAGE_CHILDREN only counts reaped children, and the JVM is still
+        # up here). The 10M-frontier leg exists to catch any driver
+        # structure that grows with frontier size (seed ingest, manifest,
+        # salt detection).
+        import resource
+
+        out["driver_py_maxrss_mb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+        )
+        me = os.getpid()
+        jvm_hwm_kb = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                stat = open(f"/proc/{pid}/status").read()
+            except OSError:
+                continue
+            ppid = hwm = 0
+            for ln in stat.splitlines():
+                if ln.startswith("PPid:"):
+                    ppid = int(ln.split()[1])
+                elif ln.startswith("VmHWM:"):
+                    hwm = int(ln.split()[1])
+            if ppid == me:
+                jvm_hwm_kb = max(jvm_hwm_kb, hwm)
+        out["driver_jvm_peak_rss_mb"] = round(jvm_hwm_kb / 1024, 1)
         if args.verify_politeness:
             # invariant: no (round, host) ever exceeded its per-host budget —
             # the salted selection must stay EXACT under skew, not just fast
