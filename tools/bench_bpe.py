@@ -31,9 +31,33 @@ def main() -> int:
         sf_dir = argv[argv.index("--sf-dir") + 1]
     if "--merges" in argv:
         merges = [int(x) for x in argv[argv.index("--merges") + 1].split(",")]
+    # the testdata corpus draws from a fixed word pool, so its merge space
+    # exhausts at ~89 productive merges at EVERY sf (r07 measurement). The
+    # 10^3-merge regime needs a richer vocabulary: --synthetic-vocab N
+    # builds a deterministic corpus of N docs x 50 md5-hex words (8-12
+    # chars over a 16-symbol alphabet — a deep pair space), generated
+    # distributed from spark.range; no external data.
+    synth_docs = 0
+    if "--synthetic-vocab" in argv:
+        synth_docs = int(argv[argv.index("--synthetic-vocab") + 1])
 
     spark = get_spark("bench_bpe", cores=32)
-    docs = load_table(spark, sf_dir, "documents")
+    if synth_docs:
+        from pyspark.sql import functions as F
+
+        docs = (
+            spark.range(synth_docs * 50)
+            .select(
+                (F.col("id") % synth_docs).alias("doc_id"),
+                F.expr(
+                    "substr(md5(cast(id as string)), 1, 8 + cast(id % 5 as int))"
+                ).alias("w"),
+            )
+            .groupBy("doc_id")
+            .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
+        )
+    else:
+        docs = load_table(spark, sf_dir, "documents")
     docs.count()  # warm the scan cache out of the measurement
 
     legs = {}
@@ -60,7 +84,7 @@ def main() -> int:
         "metric": "bpe_sec_per_merge",
         "value": top["sec_per_merge"],
         "unit": "sec",
-        "sf_dir": sf_dir,
+        "sf_dir": sf_dir if not synth_docs else f"synthetic-vocab:{synth_docs}",
         "legs": legs,
         # flatness: sec/merge at the top count vs the base count; the base
         # includes the one-off corpus shuffle, so ratio < ~1.2 means the
