@@ -681,6 +681,23 @@ def _ivf_recall_panel_from(
         e.crossJoin(F.broadcast(cents))
         .select("vec_id", "v", "nrm", "cid", cos_c.alias("cos_c"))
         .withColumn("rk", F.row_number().over(w1))
+        # every consumer needs only the two best cells per vector, and the
+        # assignment subtree feeds corpus, probe-1, and probe-2 — DataFrame
+        # DAGs do not dedupe identical subtrees (the host_hits /
+        # clusters_lp lesson), so without truncation the O(N·K)
+        # crossJoin+window re-evaluates once per consumer. Filter BEFORE
+        # checkpointing so the materialized frame is 2 rows/vector, not K
+        # (the K-rank frame still carries the 64-dim vector per row).
+        # Measured at 10^6 vectors (bench_ann_scale): 80.6 s -> ~62 s; the
+        # remaining cost is the single assignment itself (the N·K-row
+        # window sort), whose next-order fix is map-side assignment over a
+        # collected K-row centroid literal — a plan-shape change left for
+        # a dedicated round. localCheckpoint, not persist — blocks are
+        # reclaimed when the caller drops the result; downstream plans
+        # keep their Broadcast + WindowGroupLimit audit shape; values are
+        # unchanged.
+        .filter(F.col("rk") <= 2)
+        .localCheckpoint()
     )
     corpus = ranked.filter((F.col("rk") == 1) & (F.col("vec_id") >= 10)).select(
         "vec_id", "v", "nrm", "cid"
