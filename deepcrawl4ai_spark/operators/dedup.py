@@ -722,7 +722,17 @@ def dedup_clusters_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 hops is full convergence there — at open-ended scale the same
     per-iteration plan (join + min partial-agg, the Pregel shape) loops to
     fixpoint. Docs with no near-dup stay their own cluster."""
-    pairs = dedup_minhash_verified(spark, sf_dir).select("doc1", "doc2")
+    return _clusters_lp_from(load_table(spark, sf_dir, "documents"))
+
+
+def _clusters_lp_from(docs: DataFrame) -> DataFrame:
+    """dedup_clusters_lp's core over an arbitrary (doc_id, text) frame —
+    factored out so corpus_pipeline_v3 and the corpus-scale bench legs can
+    run the identical near-dup chain on synthetic corpora. Value-identical
+    to the pre-split body (the wrapper merely binds docs to the table)."""
+    pairs = _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS)).select(
+        "doc1", "doc2"
+    )
     edges = (
         pairs.unionByName(
             pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
@@ -737,7 +747,6 @@ def dedup_clusters_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
         # twice, so the unrolled plan re-references edges 2^3 times).
         .localCheckpoint()
     )
-    docs = load_table(spark, sf_dir, "documents")
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))
     for _ in range(3):
         labels = _lp_step(edges, labels)

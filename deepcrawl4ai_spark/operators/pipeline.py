@@ -380,13 +380,20 @@ def corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep decision — quality_classifier's docstring); the dedup list is the
     clusters_lp shape; temperature is a per-lang tiny agg broadcast back;
     packing one window. Stages share scans; no all-pairs op in the path."""
-    from deepcrawl4ai_spark.operators.dedup import dedup_clusters_lp
+    return _corpus_pipeline_v3_from(load_table(spark, sf_dir, "documents"))
+
+
+def _corpus_pipeline_v3_from(docs: DataFrame) -> DataFrame:
+    """corpus_pipeline_v3's core over an arbitrary (doc_id, lang, text)
+    frame — factored out so the corpus-scale bench can run the identical
+    funnel on a synthetic 10^6-doc corpus. Value-identical to the
+    pre-split body (the wrapper merely binds docs to the table)."""
+    from deepcrawl4ai_spark.operators.dedup import _clusters_lp_from
     from deepcrawl4ai_spark.operators.textops import (
         TEMPERATURE_ALPHA,
         _classifier_dot,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     n_words = F.size(F.split(F.col("text"), " "))
 
     # --- stage 1: entropy gate (text_entropy_filter's arithmetic) ---
@@ -415,7 +422,7 @@ def corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- stage 3: corpus-wide near-dup removal list (minhash apply) ---
     removed = (
-        dedup_clusters_lp(spark, sf_dir)
+        _clusters_lp_from(docs)
         .filter(F.col("cluster") != F.col("doc_id"))
         .select("doc_id", F.lit(True).alias("_dup"))
     )
