@@ -411,13 +411,30 @@ def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cands(docs: DataFrame, params: list) -> DataFrame:
+def _shingle_frame(docs: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, sh) word-3-gram frame — the shared base of the
+    whole MinHash family. Computed once and localCheckpointed by the
+    composite queries (verified pairs / recall rows / clusters chain), which
+    otherwise re-evaluate the corpus explode 3-5× through self-joins and
+    truth/found branches (guide §2.3/§5: cache the reused intermediate
+    instead of rescanning). Using the distinct set for the minhash agg is
+    value-identical: min over a multiset equals min over its support."""
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    return w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh")).distinct()
+
+
+def _minhash_cands(docs: DataFrame, params: list, sh: DataFrame | None = None) -> DataFrame:
     """MinHash+LSH candidate pairs with len(params) permutations banded as
     len(params) bands × 1 row: two docs are candidates iff any minhash
     matches. More permutations = strictly MORE bands = a provable superset
-    of candidates when the param list extends a shorter one."""
-    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
-    sh = w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh"))
+    of candidates when the param list extends a shorter one.
+
+    *sh*: optional precomputed DISTINCT shingle frame (_shingle_frame) — the
+    minhash minima are unchanged by shingle dedup. When None the original
+    single-pass explode (no distinct shuffle) is used: cheaper standalone."""
+    if sh is None:
+        w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+        sh = w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh"))
     x = (_hex_hash(F.col("sh")) % P).alias("x")
     h = sh.select("doc_id", x)
     aggs = [
@@ -671,11 +688,14 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _verified_pairs(docs: DataFrame, cands: DataFrame) -> DataFrame:
+def _verified_pairs(
+    docs: DataFrame, cands: DataFrame, sh: DataFrame | None = None
+) -> DataFrame:
     """Exact shingle-Jaccard verification of a candidate pair set (keep
-    jaccard ≥ 0.04) — the second stage of every LSH near-dup pipeline."""
-    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
-    sh = w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh")).distinct()
+    jaccard ≥ 0.04) — the second stage of every LSH near-dup pipeline.
+    *sh*: optional precomputed DISTINCT shingle frame (_shingle_frame)."""
+    if sh is None:
+        sh = _shingle_frame(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -710,7 +730,8 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate stage collapses the pair space; the exact stage only touches
     survivors."""
     docs = load_table(spark, sf_dir, "documents")
-    return _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS))
+    sh = _shingle_frame(docs).localCheckpoint()
+    return _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS, sh), sh)
 
 
 def dedup_clusters_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,7 +751,8 @@ def _clusters_lp_from(docs: DataFrame) -> DataFrame:
     factored out so corpus_pipeline_v3 and the corpus-scale bench legs can
     run the identical near-dup chain on synthetic corpora. Value-identical
     to the pre-split body (the wrapper merely binds docs to the table)."""
-    pairs = _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS)).select(
+    sh = _shingle_frame(docs).localCheckpoint()
+    pairs = _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS, sh), sh).select(
         "doc1", "doc2"
     )
     edges = (
@@ -748,8 +770,16 @@ def _clusters_lp_from(docs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))
-    for _ in range(3):
+    # truncate between hops (label_propagation_fixpoint's discipline): each
+    # _lp_step reads *labels* twice, so the unrolled 3-hop tree re-evaluates
+    # hop 1 four times and the base scan 8× — two eager per-hop checkpoints
+    # make the chain linear (3 hop evaluations total). The LAST hop stays
+    # lazy so the returned plan still shows the Pregel join + min partial-agg
+    # shape the audit pins.
+    for i in range(3):
         labels = _lp_step(edges, labels)
+        if i < 2:
+            labels = labels.localCheckpoint()
     return labels
 
 
@@ -822,13 +852,13 @@ def label_propagation_fixpoint(
     return labels, iters
 
 
-def _truth_pairs(docs: DataFrame) -> DataFrame:
+def _truth_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """All-pairs exact shingle-Jaccard ≥ 0.04 ground truth — the
     deliberately-unsafe all-pairs shape (tagged via the recall queries in
     SCALE_BASELINES), existing only to measure the LSH twins at test
-    scale."""
-    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
-    sh = w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh")).distinct()
+    scale. *sh*: optional precomputed DISTINCT shingle frame."""
+    if sh is None:
+        sh = _shingle_frame(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -867,8 +897,16 @@ def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's whole point is to measure the scale twin against it at test
     scale); the aggregates are three 1-row frames broadcast-cross-joined."""
     docs = load_table(spark, sf_dir, "documents")
-    truth = _truth_pairs(docs)
-    found = dedup_minhash_verified(spark, sf_dir).select("doc1", "doc2")
+    sh = _shingle_frame(docs).localCheckpoint()
+    # ONE evaluation of the all-pairs exact-Jaccard subtree, shared by the
+    # truth and found sides (checkpointed — it is a tiny pair list). Because
+    # verification IS the same exact Jaccard at the same threshold,
+    # found = truth ∩ candidates — value-identical to running
+    # _verified_pairs independently, without a second postings self-join.
+    truth = _truth_pairs(docs, sh).localCheckpoint()
+    found = truth.join(
+        _minhash_cands(docs, MINHASH_PARAMS, sh), ["doc1", "doc2"], "left_semi"
+    )
     n_truth = truth.agg(F.count("*").alias("n_truth"))
     n_found = found.agg(F.count("*").alias("n_found"))
     n_hit = truth.join(found, ["doc1", "doc2"]).agg(F.count("*").alias("n_hit"))
@@ -898,16 +936,58 @@ def dedup_recall_minhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     point); both pipeline sides stay LSH-pruned; final aggregates are 1-row
     frames broadcast-cross-joined."""
     docs = load_table(spark, sf_dir, "documents")
-    truth = _truth_pairs(docs)
-    f8 = _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS)).select(
-        "doc1", "doc2"
-    )
-    f16 = _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS_16)).select(
-        "doc1", "doc2"
-    )
+    sh = _shingle_frame(docs).localCheckpoint()
+    # ONE all-pairs truth evaluation (checkpointed pair list) and ONE 16-perm
+    # minhash aggregation shared by both band widths: the first 8 minima of
+    # the 16-perm frame ARE the 8-perm minhashes (MINHASH_PARAMS_16 extends
+    # MINHASH_PARAMS verbatim), so cands8/cands16 band off the same frame.
+    # found_k = truth ∩ cands_k (verification is the same exact Jaccard) —
+    # value-identical to the original three independent pipeline runs.
+    truth = _truth_pairs(docs, sh).localCheckpoint()
+    x = (_hex_hash(F.col("sh")) % P).alias("x")
+    h = sh.select("doc_id", x)
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % P).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS_16)
+    ]
+    mh = h.groupBy("doc_id").agg(*aggs).localCheckpoint()
+
+    def _cands(n_bands: int) -> DataFrame:
+        bands = mh.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"), F.col(f"m{i}").alias("bucket")
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+            .distinct()
+        )
+
     n_truth = truth.agg(F.count("*").alias("n_truth"))
-    h8 = truth.join(f8, ["doc1", "doc2"]).agg(F.count("*").alias("n_hit8"))
-    h16 = truth.join(f16, ["doc1", "doc2"]).agg(F.count("*").alias("n_hit16"))
+    h8 = truth.join(_cands(8), ["doc1", "doc2"], "left_semi").agg(
+        F.count("*").alias("n_hit8")
+    )
+    h16 = truth.join(_cands(16), ["doc1", "doc2"], "left_semi").agg(
+        F.count("*").alias("n_hit16")
+    )
     return (
         n_truth.crossJoin(F.broadcast(h8))
         .crossJoin(F.broadcast(h16))
@@ -964,8 +1044,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = _assign_to_seed_centroids(emb).select(
-        "vec_id", "cid", "v", _norm(F.col("v")).alias("nrm")
+    # materialize the assignment ONCE before the self-join (the
+    # _ivf_recall_panel_from fix, VERDICT r7 'what's wrong' #2): both sides
+    # of the per-cell pair join read the same cached frame instead of
+    # re-evaluating the broadcast-argmax subtree twice. The assignment
+    # chain's plan shape stays audited via ann_kmeans_update/ann_ivf_assign.
+    assigned = (
+        _assign_to_seed_centroids(emb)
+        .select("vec_id", "cid", "v", _norm(F.col("v")).alias("nrm"))
+        .localCheckpoint()
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -1052,9 +1139,12 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one Lloyd step adds a (cid, dim) partial-agg shuffle and
     a k-row centroid rebuild on top of dedup_semantic's broadcast-assign
     + per-cell pair join. Pair space is still sum(|cell|^2) with the
-    trained cells; the centroid dim stays k rows, broadcast. (A pipeline
-    would cache the assignment before the self-join; left uncached here
-    so the audited plan shows the full chain, like dedup_semantic.)
+    trained cells; the centroid dim stays k rows, broadcast. The trained
+    assignment is materialized ONCE (localCheckpoint) before the
+    self-join — r8 optimization closing VERDICT r7 'what's wrong' #2:
+    the uncached shape re-ran the Lloyd step and the reassignment on BOTH
+    sides of the pair join, a 2× tax at any scale. The Lloyd/assignment
+    plan shape stays audited via ann_kmeans_update.
 
     Reference parity: the reference engine has no ANN/semantic-dedup
     machinery — this extends the training-data operator library."""
@@ -1065,7 +1155,7 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = _assign_to_centroids(emb, _lloyd_trained_centroids(emb))
+    assigned = _assign_to_centroids(emb, _lloyd_trained_centroids(emb)).localCheckpoint()
     a = assigned.alias("a")
     b = assigned.alias("b")
     cos = F.round(

@@ -32,15 +32,21 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("h"), (F.col("o_custkey") % 10)).alias("src"),
         F.concat(F.lit("h"), (F.col("o_orderkey") % 13)).alias("dst"),
     ).distinct()
+    # localCheckpoint, NOT persist (r8: the old persists were never
+    # unpersisted — one leaked cached frame pair per invocation for the
+    # session's lifetime, competing with execution memory across the whole
+    # bench; checkpoint blocks are reclaimed by the ContextCleaner once the
+    # caller drops the result). Also truncates the distinct/join lineage the
+    # 3 unrolled iterations re-reference.
     nodes = (
         edges.select(F.col("src").alias("host"))
         .unionByName(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    e = edges.join(deg, "src").persist()
+    e = edges.join(deg, "src").localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(ITERATIONS):
         ranks = _pagerank_step(nodes, e, ranks, n)

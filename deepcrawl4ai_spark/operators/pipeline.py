@@ -269,6 +269,10 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             ((F.col("h") >= 3.0) & (F.col("n_chars_t") >= 20)).alias("ent_ok"),
         )
+        # r8: the char-explode entropy chain is the widest scan in the
+        # funnel and is read by surv1 (→ vocab/total/scored, 3-4×) AND the
+        # flags join — materialize it once (tiny doc_id+bool frame)
+        .localCheckpoint()
     )
 
     # --- stage 2: CCNet perplexity cut on the entropy SURVIVORS ---
@@ -278,7 +282,10 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = surv1.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
-    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    # r8: vocab is read by the total agg and the probability join —
+    # checkpoint the vocab-sized partial agg so the survivor-corpus explode
+    # behind it runs once, not three times
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt")).localCheckpoint()
     total = vocab.agg(F.sum("cnt").alias("total"))
     p = vocab.crossJoin(F.broadcast(total)).select(
         "word", (F.col("cnt") / F.col("total")).alias("pw")
@@ -410,6 +417,9 @@ def _corpus_pipeline_v3_from(docs: DataFrame) -> DataFrame:
             "doc_id",
             ((F.col("h") >= 3.0) & (F.col("n_chars_t") >= 20)).alias("ent_ok"),
         )
+        # r8: shared by the classifier's survivor population and the flags
+        # join — one evaluation of the char-explode entropy chain
+        .localCheckpoint()
     )
 
     # --- stage 2: learned gate trained on the entropy SURVIVORS ---

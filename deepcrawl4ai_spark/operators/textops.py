@@ -1077,11 +1077,21 @@ QC_ETA = 2000.0
 
 def _classifier_dot(docs: DataFrame) -> DataFrame:
     """Shared core of quality_classifier: given a (doc_id, lang, text)
-    frame, return (doc_id, n_words, dot_int, t_tokens) — the exact-integer
-    linear response of the one-step centered-label LR over hashed
-    bag-of-words counts. Factored out so corpus_pipeline_v3 can train the
-    SAME classifier on a survivor population (the population-dependent
-    stage pattern)."""
+    frame, return (doc_id, lang, n_words, dot_int, t_tokens) — the
+    exact-integer linear response of the one-step centered-label LR over
+    hashed bag-of-words counts. Factored out so corpus_pipeline_v3 can
+    train the SAME classifier on a survivor population (the
+    population-dependent stage pattern).
+
+    r8 optimization (guide §2.3 'aggregate before you shuffle' + §5): the
+    corpus is exploded and shuffled EXACTLY ONCE — the per-(doc, lang,
+    bucket) tf frame is eagerly checkpointed and every downstream
+    aggregate (per-bucket lang counts, corpus totals, the gradient, the
+    per-doc dot) derives from it, where the original evaluated the corpus
+    explode once per consumer (3-4×). lang rides the tf key (functionally
+    dependent on doc_id — identical groups), which also drops the second
+    corpus-sized documents join quality_classifier used to re-attach lang
+    (ADVICE r7 #1: that join only auto-broadcast at audit SF)."""
     words = docs.select(
         "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).select(
@@ -1092,12 +1102,14 @@ def _classifier_dot(docs: DataFrame) -> DataFrame:
             % QC_BUCKETS
         ).alias("bucket"),
     )
-    tf = words.groupBy("doc_id", "bucket").agg(
-        F.count("*").cast("long").alias("cnt")
+    tf = (
+        words.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
     )
-    bucket_cnt = words.groupBy("bucket").agg(
-        F.count("*").cast("long").alias("cnt_all"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    bucket_cnt = tf.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt_all"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0))
         .cast("long")
         .alias("cnt_en"),
     )
@@ -1120,14 +1132,14 @@ def _classifier_dot(docs: DataFrame) -> DataFrame:
     )
     per_doc = (
         tf.join(F.broadcast(grad), "bucket")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(
             F.sum("cnt").cast("long").alias("n_words"),
             F.sum(F.col("g") * F.col("cnt")).cast("long").alias("dot_int"),
         )
     )
     return per_doc.crossJoin(F.broadcast(tot)).select(
-        "doc_id", "n_words", "dot_int", "t_tokens"
+        "doc_id", "lang", "n_words", "dot_int", "t_tokens"
     )
 
 
@@ -1161,8 +1173,11 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality family (Gopher/entropy/CCNet/DSIR) with the classifier step a
     production curation pipeline runs between them and sampling."""
     docs = load_table(spark, sf_dir, "documents")
+    # lang arrives from _classifier_dot itself (carried on the tf key) — no
+    # second corpus-sized documents join (ADVICE r7 #1 closed structurally)
     scored = _classifier_dot(docs).select(
         "doc_id",
+        "lang",
         "n_words",
         "dot_int",
         F.round(
@@ -1177,7 +1192,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("linear_r"),
     )
-    return scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+    return scored.select(
         "doc_id",
         "lang",
         "n_words",

@@ -190,7 +190,13 @@ CHECKS = {
     "sample_perplexity_buckets": ["Window", "BroadcastHashJoin", "HashAggregate"],
     "dedup_minhash_apply": ["HashAggregate", "!CartesianProduct"],
     # (keeper election is a struct-min -> SortAggregate, not hash-able)
-    "dedup_semantic": ["SortAggregate", "Batched: true", "!CartesianProduct",
+    # r8: the assignment is localCheckpointed before the per-cell self-join
+    # (the _ivf_recall_panel_from fix — the uncached shape evaluated the
+    # broadcast-argmax subtree on BOTH sides of the pair join), so the
+    # audited plan starts at the checkpoint scan: 'Batched: true' moved
+    # behind the truncation; the assignment chain's shape stays pinned via
+    # ann_kmeans_update / ann_ivf_topk (same Broadcast + WindowGroupLimit)
+    "dedup_semantic": ["SortAggregate", "!CartesianProduct",
                        "!BroadcastNestedLoopJoin Inner"],
     # r06 batch 4: DSIR is the unigram-scorer shape (one vocab partial agg,
     # broadcast probability join, per-doc fold); winnowing is scan-side gram
@@ -260,11 +266,13 @@ CHECKS = {
     # partial agg + a k-row centroid rebuild, both broadcast back over the
     # scan for the reassignment cross; the per-cell pair join must stay an
     # equi-join on cid (keeper election is the struct-min SortAggregate,
-    # same as dedup_semantic)
+    # same as dedup_semantic). r8: the trained assignment is
+    # localCheckpointed before the self-join (VERDICT r7 #2 — the uncached
+    # shape ran the Lloyd step TWICE), so the Lloyd partial-agg and the
+    # reassignment cross sit behind the truncation; that chain's shape
+    # stays pinned via ann_kmeans_update
     "dedup_semantic_trained": [
         "SortAggregate",
-        "HashAggregate",
-        "BroadcastNestedLoopJoin Cross",
         "!CartesianProduct",
         "!BroadcastNestedLoopJoin Inner",
     ],
