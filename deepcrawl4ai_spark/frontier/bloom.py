@@ -220,6 +220,32 @@ def build_filters(
     return with_pid.groupBy("partition_id").applyInPandas(_build, FILTER_SCHEMA)
 
 
+def build_filter_rows_local(url_hashes, round_id: int, kind: str | None = None) -> list[dict]:
+    """Driver-side twin of build_filters for an ALREADY-DRIVER-RESIDENT hash
+    list (the submit_seeds API edge — seeds arrive as a Python list, so
+    spinning up a shuffle + cogrouped applyInPandas just to build 128 tiny
+    numpy arrays is pure overhead; r8 profiling put it at 2-3 s of the
+    seed commit). Identical rows to build_filters by construction: same
+    partition_id math, same size_for sizing, same _set_bits bit positions.
+    The distributed builder remains the path for DataFrame-scale inputs
+    (submit_frontier, rebuilds)."""
+    kind = kind or FILTER_KIND
+    by_pid: dict[int, list] = {}
+    for h in url_hashes:
+        by_pid.setdefault(int(h[:4], 16) % N_PARTITIONS, []).append(h)
+    rows: list[dict] = []
+    for pid in sorted(by_pid):
+        hs = pd.Series(by_pid[pid])
+        if kind == "cuckoo":
+            rows.extend(_cuckoo_build_rows(pid, hs, round_id, MIN_BITS))
+            continue
+        m = size_for(len(hs), MIN_BITS)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        _set_bits(bits, hs, m)
+        rows.append(_gen_row(pid, bits, m, len(hs), round_id))
+    return rows
+
+
 def add_to_filters(filters: DataFrame, hashes_df: DataFrame, round_id: int) -> DataFrame:
     """ONE cogrouped pass: OR the new url_hashes into the existing filters.
 

@@ -295,8 +295,19 @@ class CrawlEngine:
                 for r in rows
             ],
             self._frontier_schema(),
+            # an API-edge seed list is small — don't slice it into one local
+            # partition per core (32 near-empty tasks per consuming job at
+            # bench scale; guide §6 small-files). coalesce is narrow: no job.
+        ).coalesce(max(2, min(8, len(rows) // 1000 + 1)))
+        # seeds are a driver-resident list — build the 128 filter rows with
+        # plain numpy (bloom.build_filter_rows_local, value-identical to the
+        # distributed builder) instead of a shuffle + cogrouped
+        # applyInPandas: r8 profiling measured the distributed build at
+        # 2-3 s of the seed commit at bench scale
+        filters = self.spark.createDataFrame(
+            bloom.build_filter_rows_local([r["url_hash"] for r in rows], -1),
+            bloom.FILTER_SCHEMA,
         )
-        filters = bloom.build_filters(frontier.select("url_hash"), -1)
         results = self.spark.createDataFrame([], self._results_schema())
         empty_done = self.spark.createDataFrame([], self._frontier_schema())
         self.store.commit_round(
@@ -492,6 +503,8 @@ class CrawlEngine:
         filters: DataFrame,
         budget: int | None = None,
         extra_metrics: dict | None = None,
+        active_est: int | None = None,
+        seen_est: int | None = None,
     ) -> tuple[dict, DataFrame | None, DataFrame | None]:
         cfg = self.cfg
         round_budget = budget if budget is not None else cfg.global_budget
@@ -749,14 +762,25 @@ class CrawlEngine:
         # persisted flagged set; at 10^10 hashes this is the difference
         # between scanning the whole log and a few buckets per round)
         maybe = flagged.filter(F.col("maybe_seen"))
-        buckets = [
-            r[0]
-            for r in maybe.select(
-                (F.col("partition_id") % bloom.SEEN_BUCKETS).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
+        # bucket discovery is itself a job (distinct + tiny collect): it only
+        # pays for itself once the append-only log is big enough that
+        # skipping buckets beats one extra scheduler round-trip. Below the
+        # threshold, scan the whole (small) log — identical results, the
+        # prune is purely physical. The 10^10-hash regime always prunes.
+        prune_min = int(
+            _os.environ.get("CRAWL_PRUNE_MIN_SEEN", "1000000")
+        )
+        if seen_est is not None and seen_est < prune_min:
+            buckets = list(range(bloom.SEEN_BUCKETS))
+        else:
+            buckets = [
+                r[0]
+                for r in maybe.select(
+                    (F.col("partition_id") % bloom.SEEN_BUCKETS).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
         if buckets:
             seen_hashes = self.store.read(self.spark, "seen_hashes")
             if "bucket" in seen_hashes.columns and len(buckets) < bloom.SEEN_BUCKETS:
@@ -825,8 +849,21 @@ class CrawlEngine:
         # O(all-seen); retry rows stay queued with their new due_round
         done_rows = updated.filter(F.col("state") != "queued")
         # bound write fan-out with a repartition (NOT coalesce — coalesce
-        # would cap the upstream join's parallelism too)
-        n_write = max(self.spark.sparkContext.defaultParallelism, 4)
+        # would cap the upstream join's parallelism too). Fan-out is sized
+        # from the tracked queue estimate when the driver supplies one
+        # (guide §6: file count follows data volume, not core count — a
+        # 16k-row bench frontier gets 4 files, a 10M-row drain still gets
+        # one per core), falling back to defaultParallelism.
+        n_par = max(self.spark.sparkContext.defaultParallelism, 4)
+        if active_est is None:
+            n_write = n_par
+        else:
+            import os as _os2
+
+            rows_per_file = int(
+                _os2.environ.get("CRAWL_WRITE_ROWS_PER_FILE", "250000")
+            )
+            n_write = min(n_par, max(4, active_est // rows_per_file + 1))
         new_active = (
             updated.filter(F.col("state") == "queued")
             .unionByName(new_rows.select(*FRONTIER_COLS))
@@ -847,7 +884,9 @@ class CrawlEngine:
             "spans",
             "links",
             F.lit(None).cast("string").alias("error"),
-        )
+            # ≤ round-budget rows read from the persisted fetch — bound the
+            # append's file fan-out like the frontier write (guide §6)
+        ).coalesce(n_write)
 
         metrics = {
             "round": r,
@@ -888,7 +927,7 @@ class CrawlEngine:
             overwrite=overwrite,
             append={
                 "results": results,
-                "done": done_rows,
+                "done": done_rows.coalesce(n_write),
                 "seen_hashes": new_rows.select(
                     "url_hash", bloom.seen_bucket_col(F.col("url_hash"))
                 ),
@@ -986,13 +1025,21 @@ class CrawlEngine:
         # (re)build — pure driver arithmetic over committed metrics, no jobs
         seen_total = 0
         built_n = 0
+        # live-queue size estimate (file-sizing only — factor-2 accuracy is
+        # fine): seeds + new frontier − popped; retried failures re-enter the
+        # queue so this slightly undercounts, which only costs a file split
+        active_est = 0
         for m0 in committed:
             if m0.get("round", -1) < 0:
                 seen_total = max(m0.get("seeded") or 0, 0)
                 built_n = seen_total
+                active_est = seen_total
             else:
                 seen_total += m0.get("new_frontier", 0) or 0
                 built_n = m0.get("bloom_built_n", built_n)
+                active_est += (m0.get("new_frontier", 0) or 0) - (
+                    m0.get("urls_popped", 0) or 0
+                )
         # below this the initial MIN_BITS floor still has headroom — never
         # rebuild inside it
         rebuild_floor = bloom.N_PARTITIONS * bloom.MIN_BITS // bloom.BITS_PER_ITEM
@@ -1018,7 +1065,15 @@ class CrawlEngine:
             extra = {"bloom_built_n": built_n, **self._last_gauges}
             if rebuilt:
                 extra["bloom_rebuilt"] = True
-            m, nf, nflt = self.run_round(r, frontier, filters, budget, extra_metrics=extra)
+            m, nf, nflt = self.run_round(
+                r,
+                frontier,
+                filters,
+                budget,
+                extra_metrics=extra,
+                active_est=max(active_est, 0),
+                seen_est=seen_total,
+            )
             if m.get("empty"):
                 nxt = m.get("next_due")
                 if nxt is None or nxt >= self.cfg.max_rounds:
@@ -1033,5 +1088,8 @@ class CrawlEngine:
             frontier, filters = nf, nflt
             last_metrics = m
             seen_total += m.get("new_frontier", 0) or 0
+            active_est += (m.get("new_frontier", 0) or 0) - (
+                m.get("urls_popped", 0) or 0
+            )
             yield m
             r += 1

@@ -398,7 +398,14 @@ def warm_pool(spark, config_sig: str = "default") -> int:
     """F8 warm-up (reference server.py:113-138 pre-creates the browser pool
     at startup): touch every executor python worker with a one-row-per-core
     job that creates the session for *config_sig* ahead of the first real
-    fetch. Returns the number of worker processes warmed."""
+    fetch, and exercise the parquet WRITE path once (committer + zstd codec
+    init — r8 job profiling showed the session's first parquet write costs
+    ~2 s of one-time setup that otherwise lands inside the first crawl
+    commit). Returns the number of worker processes warmed."""
+    import os
+    import shutil
+    import tempfile
+
     import pandas as pd  # noqa: PLC0415 — worker-side import mirror
 
     n = spark.sparkContext.defaultParallelism
@@ -411,7 +418,13 @@ def warm_pool(spark, config_sig: str = "default") -> int:
             yield pd.DataFrame({"worker_pid": [_o.getpid()] * len(pdf)})
 
     df = spark.range(n).repartition(n).mapInPandas(_warm, "worker_pid long")
-    return df.distinct().count()
+    warmed = df.distinct().count()
+    d = tempfile.mkdtemp(prefix="warm_write_")
+    try:
+        spark.range(2).write.mode("overwrite").parquet(os.path.join(d, "w"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return warmed
 
 
 def run_fetch(selected: DataFrame, transport: dict | None = None) -> DataFrame:

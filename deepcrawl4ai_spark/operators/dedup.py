@@ -271,16 +271,24 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = w.select("doc_id", F.explode(sh).alias("s")).select(
         "doc_id", F.col("s.i").alias("i"), F.col("s.sh").alias("sh")
     )
-    dup_hashes = (
+    # r8: ONE aggregation on the shingle key carries both the dup filter
+    # (count-distinct docs) and the keeper election (min (doc_id, i)) — the
+    # original ran dup_hashes and keeper as separate agg+join stages, which
+    # re-evaluated the corpus-wide shingle explode three times (dup agg,
+    # occ-for-keeper, occ-for-non_keeper). Same one-shuffle scale shape,
+    # identical keeper values (the min over a hash's occurrences is the min
+    # over its duplicated occurrences), one fewer corpus pass.
+    dup_stats = (
         pos.groupBy("sh")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "i")).alias("k"),
+        )
         .filter(F.col("n_docs") >= 2)
-        .select("sh")
+        .select("sh", "k")
     )
-    occ = pos.join(dup_hashes, "sh")
-    keeper = occ.groupBy("sh").agg(F.min(F.struct("doc_id", "i")).alias("k"))
     non_keeper = (
-        occ.join(keeper, "sh")
+        pos.join(dup_stats, "sh")
         .filter(
             ~(
                 (F.col("doc_id") == F.col("k.doc_id"))

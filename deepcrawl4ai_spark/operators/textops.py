@@ -588,15 +588,15 @@ def _bpe_learn(docs: DataFrame, n_merges: int = 8, plan_depths: list | None = No
     """Shared BPE merge loop: returns (merge table, post-merge word→repr
     vocab). One corpus-scale shuffle builds the dict; every iteration after
     that is vocab-bounded. Eager localCheckpoint per step (the repo's
-    fixpoint-loop pattern, tests/test_iterative.py): the vocab dict and the
-    1-row best-pair are MATERIALIZED each iteration, so plan depth stays
-    constant and no iteration recomputes its predecessors (a lazy
-    persist/unpersist chain here is quadratic — the parent cache dies
-    before the child runs). Superseded vocab generations are released
-    eagerly (ADVICE r5: ~2 checkpoints/iteration × 3 callers per sweep
-    otherwise pile up for the life of a 100-query session); only the
-    returned frames — the merge-table `best` rows and the FINAL vocab —
-    stay checkpointed.
+    fixpoint-loop pattern, tests/test_iterative.py): the vocab dict is
+    MATERIALIZED each iteration, so plan depth stays constant and no
+    iteration recomputes its predecessors (a lazy persist/unpersist chain
+    here is quadratic — the parent cache dies before the child runs). The
+    1-row best-pair argmax is fetched driver-side (bounded metadata, the
+    engine's tiny-collect convention) and applied as a literal replace —
+    no per-iteration broadcast join or 1-row checkpoint. Superseded vocab
+    generations are released eagerly (ADVICE r5); only the FINAL vocab
+    stays checkpointed, and the merge table is a driver-built local frame.
 
     Production merge counts (VERDICT r5 #6): real tokenizers run 10^4–10^5
     merges; per-iteration cost here is bounded by the VOCAB dict (not the
@@ -610,33 +610,32 @@ def _bpe_learn(docs: DataFrame, n_merges: int = 8, plan_depths: list | None = No
     from deepcrawl4ai_spark.frontier.engine import _unpersist_local_checkpoint
 
     vocab = _bpe_word_vocab(docs).localCheckpoint()
-    out = None
+    merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
-        best = (
+        # the argmax pair is ONE bounded-metadata row — fetch it driver-side
+        # (TakeOrdered, no full sort) instead of checkpointing a 1-row frame
+        # and probing it with isEmpty: r8 optimization cutting the loop from
+        # ~4 scheduler round-trips per merge (pairs job + checkpoint job +
+        # isEmpty job + broadcast build for the crossJoin apply) to 2 (the
+        # argmax job + the vocab checkpoint); the merge apply becomes a
+        # literal substring replace, no join at all. Values are identical —
+        # the same (count desc, a, b) argmax, applied with the same
+        # left-to-right non-overlapping replace semantics.
+        r = (
             _bpe_pairs(vocab)
             .orderBy(F.col("pair_cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .select(
-                F.lit(rank).alias("merge_rank"),
-                "a",
-                "b",
-                F.concat(F.col("a"), F.col("b")).alias("merged"),
-                "pair_cnt",
-            )
-            .localCheckpoint()
+            .head()
         )
-        if best.isEmpty():
+        if r is None:
             break
-        out = best if out is None else out.unionByName(best)
+        merges.append((rank, r["a"], r["b"], r["a"] + r["b"], r["pair_cnt"]))
         prev_vocab = vocab
-        nxt = vocab.crossJoin(F.broadcast(best.select("a", "b"))).select(
+        nxt = vocab.select(
             "word",
             F.replace(
                 F.col("repr"),
-                F.concat(
-                    F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")
-                ),
-                F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+                F.lit("|" + r["a"] + "||" + r["b"] + "|"),
+                F.lit("|" + r["a"] + r["b"] + "|"),
             ).alias("repr"),
             "cnt",
         )
@@ -646,10 +645,9 @@ def _bpe_learn(docs: DataFrame, n_merges: int = 8, plan_depths: list | None = No
             )
         vocab = nxt.localCheckpoint()
         _unpersist_local_checkpoint(prev_vocab)
-    if out is None:  # corpus with no adjacent pairs at all (degenerate)
-        out = docs.sparkSession.createDataFrame(
-            [], "merge_rank int, a string, b string, merged string, pair_cnt bigint"
-        )
+    out = docs.sparkSession.createDataFrame(
+        merges, "merge_rank int, a string, b string, merged string, pair_cnt bigint"
+    )
     return out, vocab
 
 

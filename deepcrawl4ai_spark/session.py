@@ -31,6 +31,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1/§9: allow shuffled-hash join where its size conditions
+        # hold instead of always sort-merge — the band/postings self-joins
+        # are equi-joins whose sides fit per-partition hash maps, and SHJ
+        # skips both sorts; AQE may also rewrite SMJ->SHJ at runtime when
+        # every post-shuffle partition is under the threshold (scale-safe:
+        # oversized partitions keep sort-merge)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -110,11 +110,13 @@ CHECKS = {
     # unigram LM gate: vocab partial-agg + broadcast probability join +
     # per-doc fold — two bounded shuffles, no window, no pair space
     "text_unigram_logprob": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct"],
-    # BPE induction: iterative — each step (pair partial-agg + broadcast
-    # 1-row merge apply) is materialized via eager localCheckpoint, so the
-    # FINAL plan is a Union of 8 checkpointed 1-row frames; the per-step
-    # shapes live in the step builders (_bpe_pairs: one partial-agg shuffle)
-    "bpe_merges": ["Union", "!CartesianProduct", "!SortMergeJoin"],
+    # BPE induction: iterative — each step's pair count is a partial-agg
+    # over the checkpointed vocab dict and the 1-row argmax is fetched
+    # driver-side (TakeOrdered) then applied as a literal replace, so the
+    # FINAL merge-table plan is a driver-built LocalTableScan; the per-step
+    # shapes live in the step builders (_bpe_pairs: one partial-agg
+    # shuffle) and the plan-depth constancy hook in tests/test_iterative.py
+    "bpe_merges": ["!CartesianProduct", "!SortMergeJoin"],
     # late r5: paragraph-dedup APPLY keeps the detection's one-shuffle shape
     # (keeper election = min-struct partial agg on ph, join back on ph, per-
     # doc reassembly agg) — never a pair space; substring spans add exactly
