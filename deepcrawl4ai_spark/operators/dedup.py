@@ -701,12 +701,31 @@ def _verified_pairs(
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of a candidate pair set (keep
     jaccard ≥ 0.04) — the second stage of every LSH near-dup pipeline.
-    *sh*: optional precomputed DISTINCT shingle frame (_shingle_frame)."""
+    *sh*: optional precomputed DISTINCT shingle frame (_shingle_frame).
+
+    r8 optimization (guide §3.2 — reduce the big side before the join):
+    the shingle-postings self-join is PRE-FILTERED to docs that appear in
+    the candidate set. The original joined the FULL postings table against
+    itself — the same all-pairs-sharing-a-shingle intermediate as the
+    tagged _truth_pairs baseline — and only intersected with the LSH
+    candidates after the pair aggregation, so the banding pruned nothing
+    from the verify stage's pair space. With the semi-join, the pair space
+    is bounded by candidate docs (LSH's whole point). Values identical:
+    every candidate pair's intersection count is computed from the same
+    shingle sets; sizes (the Jaccard denominator) still come from the full
+    per-doc shingle counts."""
     if sh is None:
         sh = _shingle_frame(docs)
+    cands = cands.localCheckpoint()
+    cand_docs = (
+        cands.select(F.col("doc1").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc2").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = shc.alias("a")
+    b = shc.alias("b")
     inter = (
         a.join(
             b,
