@@ -779,22 +779,26 @@ def _clusters_lp_from(docs: DataFrame) -> DataFrame:
     run the identical near-dup chain on synthetic corpora. Value-identical
     to the pre-split body (the wrapper merely binds docs to the table)."""
     sh = _shingle_frame(docs).localCheckpoint()
-    pairs = _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS, sh), sh).select(
-        "doc1", "doc2"
+    # localCheckpoint the PAIR list (not the doubled edge list): the union
+    # below reads `pairs` twice, so an uncheckpointed pairs frame ran the
+    # whole verify join twice inside the old edges checkpoint (r8). The
+    # doubled union over the cached pair list is then cheap enough to stay
+    # lazy. localCheckpoint, NOT persist (the ADVICE r5 corpus_pipeline
+    # rationale): checkpoint blocks are reclaimed by the ContextCleaner
+    # when the caller drops the result; this also truncates the minhash
+    # verify chain out of the 3-hop lineage.
+    pairs = (
+        _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS, sh), sh)
+        .select("doc1", "doc2")
+        .localCheckpoint()
     )
     edges = (
+        # no .distinct(): verified pairs are unique (distinct candidates
+        # joined to a pair-keyed aggregate) and strictly doc1 < doc2, so
+        # the swapped union is disjoint — the dedup shuffle was a no-op (r8)
         pairs.unionByName(
             pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
         )
-        .distinct()
-        # localCheckpoint, NOT persist (the ADVICE r5 corpus_pipeline
-        # rationale): a persist here leaks one cached frame per invocation
-        # — no caller can unpersist it since the returned labels read it
-        # lazily; checkpoint blocks are reclaimed by the ContextCleaner
-        # when the caller drops the result. Also truncates the minhash
-        # verify chain out of the 3-hop lineage (each hop reads labels
-        # twice, so the unrolled plan re-references edges 2^3 times).
-        .localCheckpoint()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))
     # truncate between hops (label_propagation_fixpoint's discipline): each

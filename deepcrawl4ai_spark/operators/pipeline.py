@@ -255,16 +255,19 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_words = F.size(F.split(F.col("text"), " "))
 
-    # --- stage 1: entropy gate (text_entropy_filter's arithmetic) ---
+    # --- stage 1: entropy gate (text_entropy_filter's arithmetic, r8
+    # single-pass shape: per-doc total on a doc_id window + fold reusing
+    # that partitioning — one char-explode evaluation instead of three) ---
     ch = docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
     per = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
-    nch = per.groupBy("doc_id").agg(F.sum("cnt").alias("n_chars_t"))
+    per2 = per.withColumn("n_chars_t", F.sum("cnt").over(W.partitionBy("doc_id")))
     pc = F.col("cnt") / F.col("n_chars_t")
     ent = (
-        per.join(nch, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.round(-F.sum(pc * F.log2(pc)), 6).alias("h"))
-        .join(nch, "doc_id")
+        per2.groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(pc * F.log2(pc)), 6).alias("h"),
+            F.max("n_chars_t").alias("n_chars_t"),
+        )
         .select(
             "doc_id",
             ((F.col("h") >= 3.0) & (F.col("n_chars_t") >= 20)).alias("ent_ok"),
@@ -403,16 +406,18 @@ def _corpus_pipeline_v3_from(docs: DataFrame) -> DataFrame:
 
     n_words = F.size(F.split(F.col("text"), " "))
 
-    # --- stage 1: entropy gate (text_entropy_filter's arithmetic) ---
+    # --- stage 1: entropy gate (text_entropy_filter's arithmetic, r8
+    # single-pass window shape — one char-explode evaluation) ---
     ch = docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
     per = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
-    nch = per.groupBy("doc_id").agg(F.sum("cnt").alias("n_chars_t"))
+    per2 = per.withColumn("n_chars_t", F.sum("cnt").over(W.partitionBy("doc_id")))
     pc = F.col("cnt") / F.col("n_chars_t")
     ent = (
-        per.join(nch, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.round(-F.sum(pc * F.log2(pc)), 6).alias("h"))
-        .join(nch, "doc_id")
+        per2.groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(pc * F.log2(pc)), 6).alias("h"),
+            F.max("n_chars_t").alias("n_chars_t"),
+        )
         .select(
             "doc_id",
             ((F.col("h") >= 3.0) & (F.col("n_chars_t") >= 20)).alias("ent_ok"),

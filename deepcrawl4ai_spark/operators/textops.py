@@ -987,28 +987,35 @@ def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural text's ~4 bits/char): per doc, Shannon entropy of the character
     distribution, H = −Σ p(c)·log2 p(c); kept = H ≥ 3 bits and ≥ 20 chars.
 
-    Scale shape: one (doc_id, char) partial agg + one per-doc fold — the
-    key space is docs × alphabet, shuffles bounded by the scan; no window,
-    no pair space."""
+    Scale shape (r8): one (doc_id, char) partial agg, then the per-doc
+    total rides a doc_id window (groups are alphabet-bounded) and the
+    entropy fold reuses that partitioning — ONE evaluation of the char
+    explode and two shuffles total, where the original agg+join+join shape
+    re-evaluated the corpus-wide explode three times. No pair space."""
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     ch = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
     )
     per = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
-    n = per.groupBy("doc_id").agg(F.sum("cnt").alias("n_chars"))
+    wdoc = W.partitionBy("doc_id")
+    per2 = per.withColumn("n_chars", F.sum("cnt").over(wdoc))
     pc = F.col("cnt") / F.col("n_chars")
-    ent = (
-        per.join(n, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.round(-F.sum(pc * F.log2(pc)), 6).alias("entropy_bits"))
-    )
-    return ent.join(n, "doc_id").select(
-        "doc_id",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        "entropy_bits",
-        ((F.col("entropy_bits") >= 3.0) & (F.col("n_chars") >= 20)).alias(
-            "kept"
-        ),
+    return (
+        per2.groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(pc * F.log2(pc)), 6).alias("entropy_bits"),
+            F.max("n_chars").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "entropy_bits",
+            ((F.col("entropy_bits") >= 3.0) & (F.col("n_chars") >= 20)).alias(
+                "kept"
+            ),
+        )
     )
 
 

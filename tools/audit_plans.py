@@ -206,7 +206,12 @@ CHECKS = {
     # two partial aggs over the vectorized scan
     "sample_dsir": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct"],
     "text_winnow_fingerprint": ["Window", "HashAggregate", "Batched: true"],
-    "text_entropy_filter": ["HashAggregate", "Batched: true", "!Window"],
+    # r8: the entropy gate is now single-pass — the per-doc char total is a
+    # doc_id-partitioned window over the (doc_id, char) partial agg and the
+    # entropy fold reuses that partitioning (one corpus explode, two
+    # shuffles; the old agg+join+join shape re-read the explode 3×), so
+    # Window is now REQUIRED rather than forbidden
+    "text_entropy_filter": ["HashAggregate", "Window", "Batched: true"],
     # r06 batch 5: the v2 funnel — windows (perplexity cut + packing),
     # broadcast prob/total joins, the 1-row counts cross join; the minhash
     # band self-join inside the dedup stage may sort-merge, so unlike v1
