@@ -20,7 +20,9 @@ columns travel through joins.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
+import shutil
 from collections.abc import Iterator
 
 import numpy as np
@@ -48,6 +50,10 @@ MEDIA_SCHEMA = T.StructType(
         ),
     ]
 )
+
+# blob dirs already scheduled for interpreter-exit cleanup (one atexit
+# handler per path, however many times media_features runs — ADVICE r7)
+_CLEANUP_PATHS: set[str] = set()
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -188,11 +194,11 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG0
     # the returned DataFrame is lazy, so the directory must outlive this
     # call — clean it at interpreter exit instead (ADVICE r6: the
     # applicationId key fixed the cross-session race but leaked one blob
-    # dir per application into tempdir)
-    import atexit
-    import shutil
-
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    # dir per application into tempdir). Register each path ONCE (ADVICE
+    # r7: repeated calls in one interpreter stacked duplicate handlers).
+    if path not in _CLEANUP_PATHS:
+        _CLEANUP_PATHS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     B.put_blobs(media.select("media_ref", "payload"), path, part_bytes=64)
     whole = (
         B.read_blobs(spark, path)
@@ -474,7 +480,10 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: A
     for b in range(16):
         term = F.when(F.col("feature")[b] > 0, F.lit(1 << b)).otherwise(0)
         sig = term if sig is None else sig + term
-    s = feats.select("media_ref", sig.cast("long").alias("phash"))
+    # r8: both sides of the band self-join read the signature — materialize
+    # the Arrow-batched featurize + sign-quantize once (256 rows) instead
+    # of running the python stage twice
+    s = feats.select("media_ref", sig.cast("long").alias("phash")).localCheckpoint()
     bands = s.select(
         "media_ref",
         "phash",

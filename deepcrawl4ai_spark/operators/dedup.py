@@ -449,7 +449,10 @@ def _minhash_cands(docs: DataFrame, params: list, sh: DataFrame | None = None) -
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % P).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
     ]
-    mh = h.groupBy("doc_id").agg(*aggs)
+    # r8: both sides of the band self-join read the banded frame —
+    # materialize the per-doc minhash aggregation (k small ints per doc)
+    # once instead of evaluating the shingle explode + agg on each side
+    mh = h.groupBy("doc_id").agg(*aggs).localCheckpoint()
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -524,7 +527,9 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets × 4 bands = 1024 join keys) vs the earlier 4-bit ones (128
     keys) cut the candidate pair space ~30× at equal recall — the selective
     end of the LSH band/width trade-off for this threshold."""
-    sig = _simhash_sig(load_table(spark, sf_dir, "documents"), 32)
+    # r8: both sides of the band self-join read the signature — materialize
+    # the word-explode + 32-plane aggregation once instead of twice
+    sig = _simhash_sig(load_table(spark, sf_dir, "documents"), 32).localCheckpoint()
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -570,9 +575,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram within the same lang; jaccard = |∩| / |∪| over distinct shingles."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", "lang", _words(F.col("text")).alias("w"))
-    sh = w.select(
-        "doc_id", "lang", F.explode(_shingles(F.col("w"))).alias("sh")
-    ).distinct()
+    # r8: sizes + both self-join sides read the distinct shingle set —
+    # materialize the explode+distinct once instead of three times (the
+    # all-pairs join itself stays the tagged baseline shape)
+    sh = (
+        w.select("doc_id", "lang", F.explode(_shingles(F.col("w"))).alias("sh"))
+        .distinct()
+        .localCheckpoint()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -656,12 +666,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepcrawl4ai_spark.operators.similarity import _hyperplane_sig
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # r8: both sides of the signature-equality self-join read e —
+    # materialize the 16-plane signature pass once
     e = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         _hyperplane_sig(F.col("embedding")).alias("sig"),
-    )
+    ).localCheckpoint()
     a = e.alias("a")
     b = e.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
@@ -1131,10 +1143,13 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg."""
     from deepcrawl4ai_spark.operators.textops import text_winnow_fingerprint
 
+    # r8: both sides of the postings self-join read the fingerprint set —
+    # materialize the winnowing window chain once
     fp = (
         text_winnow_fingerprint(spark, sf_dir)
         .select("doc_id", "fp_hash")
         .distinct()
+        .localCheckpoint()
     )
     a = fp.alias("a")
     b = fp.alias("b")

@@ -38,7 +38,11 @@ CHECKS = {
     # LSH-blocked near-dup stays on the vectorized scan path
     "ann_ivf_topk": ["BroadcastHashJoin", "WindowGroupLimit"],
     "c7_selector_inference": ["HashAggregate", "Batched: true"],
-    "dedup_embedding_lsh": ["Batched: true"],
+    # r8: the hyperplane-signature pass is localCheckpointed before the
+    # bucket self-join (both sides read it), so the audited plan starts at
+    # the checkpoint scan; the signature chain's scan shape stays pinned
+    # via ann_lsh_buckets-family rows that keep it inline
+    "dedup_embedding_lsh": ["!CartesianProduct"],
     # round-2 additions: the temporal family must stay single-shuffle —
     # as-of's filter pushes to the scan and the union feeds ONE window;
     # sessionize's groupBy reuses the window's user_id partitioning (the
@@ -50,7 +54,10 @@ CHECKS = {
     "train_split_docs": ["Batched: true", "!Exchange"],
     "f5_load_more_clicks": ["Batched: true", "!Exchange"],
     "f4_scroll_variants": ["Batched: true", "!Exchange"],
-    "dedup_simhash_banded": ["HashAggregate", "Batched: true"],
+    # r8: the 32-plane signature agg is localCheckpointed before the band
+    # self-join; the post-checkpoint plan keeps the band-join + distinct
+    # partial-agg shape
+    "dedup_simhash_banded": ["HashAggregate", "!CartesianProduct"],
     # corpus shaping: the packer is one window shuffle on lang; the
     # stratified sampler is a pure scan-side filter (no shuffle at all)
     "pack_sequences": ["Window", "Batched: true"],
@@ -151,7 +158,10 @@ CHECKS = {
     "sample_source_cap": ["WindowGroupLimit", "Batched: true"],
     # media pHash near-dup: Arrow-batched featurize, then the banded-join
     # plan (simhash_banded shape) — never an unbanded media×media pair space
-    "media_phash_dedup": ["MapInPandas", "!CartesianProduct"],
+    # r8: the Arrow-batched featurize is localCheckpointed before the band
+    # self-join (it ran twice otherwise); MapInPandas stays pinned inline
+    # via media_features (same extract_features path)
+    "media_phash_dedup": ["!CartesianProduct"],
     # tf-idf keywords: tf/df partial aggs, vocab dim broadcast back, top-k
     # group-limited; funnel: event_type predicates reach the parquet scan,
     # every stage a user-keyed partial agg
@@ -232,7 +242,10 @@ CHECKS = {
         "WindowGroupLimit",
         "!CartesianProduct",
     ],
-    "dedup_winnow_pairs": ["Window", "HashAggregate", "!CartesianProduct"],
+    # r8: the winnowing fingerprint chain is localCheckpointed before the
+    # postings self-join; its Window shape stays pinned inline via
+    # text_winnow_fingerprint
+    "dedup_winnow_pairs": ["HashAggregate", "!CartesianProduct"],
     # r06 batch 7: hybrid RRF — each ranker truncates via orderBy+limit
     # (TakeOrderedAndProject: distributed partial top-K, no global sort);
     # the query-vector side is the usual 1-row broadcast cross
