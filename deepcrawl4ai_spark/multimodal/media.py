@@ -480,10 +480,7 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: A
     for b in range(16):
         term = F.when(F.col("feature")[b] > 0, F.lit(1 << b)).otherwise(0)
         sig = term if sig is None else sig + term
-    # r8: both sides of the band self-join read the signature — materialize
-    # the Arrow-batched featurize + sign-quantize once (256 rows) instead
-    # of running the python stage twice
-    s = feats.select("media_ref", sig.cast("long").alias("phash")).localCheckpoint()
+    s = feats.select("media_ref", sig.cast("long").alias("phash"))
     bands = s.select(
         "media_ref",
         "phash",

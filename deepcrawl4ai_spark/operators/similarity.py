@@ -98,15 +98,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (queries = vec_id < 10). The scale path: the join key is the
     signature, so each query only scores its bucket."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # r8: q and corpus both derive from e — materialize the signature pass
-    # once (the 16-plane fold per row is the expensive projection) instead
-    # of evaluating it on each side of the bucket join
     e = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),
         _norm(F.col("embedding")).alias("nrm"),
         _hyperplane_sig(F.col("embedding")).alias("sig"),
-    ).localCheckpoint()
+    )
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -141,15 +138,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos_c = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
     w1 = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
-    # r8: q and corpus both read the assignment — materialize the coarse
-    # argmax once instead of running the broadcast cross + window twice
     assigned = (
         e.crossJoin(F.broadcast(cents))
         .select("vec_id", "v", "nrm", "cid", cos_c.alias("cos_c"))
         .withColumn("rk", F.row_number().over(w1))
         .filter(F.col("rk") == 1)
         .select("vec_id", "v", "nrm", "cid")
-        .localCheckpoint()
     )
     q = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
@@ -216,13 +210,10 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos_c = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
     w1 = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
-    # r8: corpus (rk==1) and the probe-2 query side (rk<=2) both read the
-    # ranked assignment — materialize it once
     ranked = (
         e.crossJoin(F.broadcast(cents))
         .select("vec_id", "v", "nrm", "cid", cos_c.alias("cos_c"))
         .withColumn("rk", F.row_number().over(w1))
-        .localCheckpoint()
     )
     corpus = ranked.filter((F.col("rk") == 1) & (F.col("vec_id") >= 10)).select(
         "vec_id", "v", "nrm", "cid"
@@ -444,13 +435,10 @@ def ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the three searches it composes are each
     broadcast-candidate + WindowGroupLimit plans; the recall join is on
     (qid, vec_id) over ≤ 10×5 rows — noise."""
-    # r8: the brute-force truth side is read by base/h1/h2 — materialize its
-    # 50 rows once instead of running the all-pairs cross+window three times
     exact = (
         ann_topk_cosine(spark, sf_dir)
         .filter(F.col("rk") <= 5)
         .select("qid", "vec_id")
-        .localCheckpoint()
     )
     p1 = ann_ivf_topk(spark, sf_dir).select("qid", "vec_id")
     p2 = ann_ivf_multiprobe(spark, sf_dir).select("qid", "vec_id")
@@ -819,8 +807,7 @@ def _pq_recall_from(emb: DataFrame, seed_mod: int) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("qid", "vec_id")
     )
-    # r8: truth side read twice (base + hit join) — materialize once
-    exact = _exact_top5_from(emb).localCheckpoint()
+    exact = _exact_top5_from(emb)
     base = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
     h = exact.join(pq5, ["qid", "vec_id"]).groupBy("qid").agg(F.count("*").alias("h"))
     hits = F.coalesce(F.col("h"), F.lit(0).cast("long"))
@@ -851,12 +838,10 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning — so the number itself is the evidence: it prices the 16×
     compression. Scale shape: both searches are broadcast + WindowGroupLimit
     plans; the recall join touches ≤ 10×5 rows."""
-    # r8: truth side read twice (base + hit join) — materialize once
     exact = (
         ann_topk_cosine(spark, sf_dir)
         .filter(F.col("rk") <= 5)
         .select("qid", "vec_id")
-        .localCheckpoint()
     )
     pq = ann_pq_topk(spark, sf_dir).select("qid", "vec_id")
     base = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
@@ -890,9 +875,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_topk (pruning, full vectors) and ann_pq_topk (compression,
     full scan)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # r8: read by the corpus codes join AND the query-cell lookup —
-    # materialize the coarse argmax once
-    assigned = _assign_to_seed_centroids(emb).select("vec_id", "cid").localCheckpoint()
+    assigned = _assign_to_seed_centroids(emb).select("vec_id", "cid")
     subs = _subvectors(emb)
     cents = subs.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("pcid"),

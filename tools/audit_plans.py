@@ -158,10 +158,7 @@ CHECKS = {
     "sample_source_cap": ["WindowGroupLimit", "Batched: true"],
     # media pHash near-dup: Arrow-batched featurize, then the banded-join
     # plan (simhash_banded shape) — never an unbanded media×media pair space
-    # r8: the Arrow-batched featurize is localCheckpointed before the band
-    # self-join (it ran twice otherwise); MapInPandas stays pinned inline
-    # via media_features (same extract_features path)
-    "media_phash_dedup": ["!CartesianProduct"],
+    "media_phash_dedup": ["MapInPandas", "!CartesianProduct"],
     # tf-idf keywords: tf/df partial aggs, vocab dim broadcast back, top-k
     # group-limited; funnel: event_type predicates reach the parquet scan,
     # every stage a user-keyed partial agg
