@@ -421,12 +421,15 @@ def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingle_frame(docs: DataFrame) -> DataFrame:
     """DISTINCT (doc_id, sh) word-3-gram frame — the shared base of the
-    whole MinHash family. Computed once and localCheckpointed by the
-    composite queries (verified pairs / recall rows / clusters chain), which
-    otherwise re-evaluate the corpus explode 3-5× through self-joins and
-    truth/found branches (guide §2.3/§5: cache the reused intermediate
-    instead of rescanning). Using the distinct set for the minhash agg is
-    value-identical: min over a multiset equals min over its support."""
+    whole MinHash family, passed explicitly so composite queries (verified
+    pairs / recall rows / clusters chain) share one expression instead of
+    rebuilding it per branch. Deliberately NOT checkpointed: at 10^6 docs
+    this frame is ~corpus × shingle-width strings and caching it measured
+    slower than re-evaluating the explode (guide §5) — the small
+    contraction frames derived from it (minhash rows, candidate pairs,
+    candidate-restricted postings, per-doc sizes) are the checkpointed
+    ones. Using the distinct set for the minhash agg is value-identical:
+    min over a multiset equals min over its support."""
     w = docs.select("doc_id", _words(F.col("text")).alias("w"))
     return w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh")).distinct()
 
@@ -452,7 +455,7 @@ def _minhash_cands(docs: DataFrame, params: list, sh: DataFrame | None = None) -
     # r8: both sides of the band self-join read the banded frame —
     # materialize the per-doc minhash aggregation (k small ints per doc)
     # once instead of evaluating the shingle explode + agg on each side
-    mh = h.groupBy("doc_id").agg(*aggs).localCheckpoint()
+    mh = h.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=False)
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -529,7 +532,7 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     end of the LSH band/width trade-off for this threshold."""
     # r8: both sides of the band self-join read the signature — materialize
     # the word-explode + 32-plane aggregation once instead of twice
-    sig = _simhash_sig(load_table(spark, sf_dir, "documents"), 32).localCheckpoint()
+    sig = _simhash_sig(load_table(spark, sf_dir, "documents"), 32).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -581,7 +584,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         w.select("doc_id", "lang", F.explode(_shingles(F.col("w"))).alias("sh"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -673,7 +676,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("v"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         _hyperplane_sig(F.col("embedding")).alias("sig"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     a = e.alias("a")
     b = e.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
@@ -728,14 +731,23 @@ def _verified_pairs(
     per-doc shingle counts."""
     if sh is None:
         sh = _shingle_frame(docs)
-    cands = cands.localCheckpoint()
+    cands = cands.localCheckpoint(eager=False)
     cand_docs = (
         cands.select(F.col("doc1").alias("doc_id"))
         .unionByName(cands.select(F.col("doc2").alias("doc_id")))
         .distinct()
     )
-    shc = sh.join(cand_docs, "doc_id", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # checkpoint the CONTRACTION points, not the corpus-sized shingle
+    # frame: shc (candidate docs only) feeds both self-join sides and
+    # sizes (one row per doc) feeds both denominator joins — caching
+    # either costs little; caching sh itself at 10^6 docs means holding
+    # ~corpus x shingle-width strings (measured slower at the 1M-doc leg)
+    shc = sh.join(cand_docs, "doc_id", "left_semi").localCheckpoint(eager=False)
+    sizes = (
+        sh.groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
     a = shc.alias("a")
     b = shc.alias("b")
     inter = (
@@ -769,7 +781,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate stage collapses the pair space; the exact stage only touches
     survivors."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_frame(docs).localCheckpoint()
+    sh = _shingle_frame(docs)
     return _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS, sh), sh)
 
 
@@ -790,7 +802,7 @@ def _clusters_lp_from(docs: DataFrame) -> DataFrame:
     factored out so corpus_pipeline_v3 and the corpus-scale bench legs can
     run the identical near-dup chain on synthetic corpora. Value-identical
     to the pre-split body (the wrapper merely binds docs to the table)."""
-    sh = _shingle_frame(docs).localCheckpoint()
+    sh = _shingle_frame(docs)
     # localCheckpoint the PAIR list (not the doubled edge list): the union
     # below reads `pairs` twice, so an uncheckpointed pairs frame ran the
     # whole verify join twice inside the old edges checkpoint (r8). The
@@ -802,7 +814,7 @@ def _clusters_lp_from(docs: DataFrame) -> DataFrame:
     pairs = (
         _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS, sh), sh)
         .select("doc1", "doc2")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edges = (
         # no .distinct(): verified pairs are unique (distinct candidates
@@ -822,7 +834,7 @@ def _clusters_lp_from(docs: DataFrame) -> DataFrame:
     for i in range(3):
         labels = _lp_step(edges, labels)
         if i < 2:
-            labels = labels.localCheckpoint()
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 
@@ -869,9 +881,9 @@ def label_propagation_fixpoint(
             pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster")).localCheckpoint()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster")).localCheckpoint(eager=False)
     iters = 0
     for _ in range(max_iters):
         nxt = _lp_step(edges, labels)
@@ -879,7 +891,7 @@ def label_propagation_fixpoint(
             plan_depths.append(
                 len(nxt._jdf.queryExecution().optimizedPlan().toString().splitlines())
             )
-        nxt = nxt.localCheckpoint()
+        nxt = nxt.localCheckpoint(eager=False)
         iters += 1
         changed = (
             nxt.withColumnRenamed("cluster", "new")
@@ -940,13 +952,13 @@ def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's whole point is to measure the scale twin against it at test
     scale); the aggregates are three 1-row frames broadcast-cross-joined."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_frame(docs).localCheckpoint()
+    sh = _shingle_frame(docs)
     # ONE evaluation of the all-pairs exact-Jaccard subtree, shared by the
     # truth and found sides (checkpointed — it is a tiny pair list). Because
     # verification IS the same exact Jaccard at the same threshold,
     # found = truth ∩ candidates — value-identical to running
     # _verified_pairs independently, without a second postings self-join.
-    truth = _truth_pairs(docs, sh).localCheckpoint()
+    truth = _truth_pairs(docs, sh).localCheckpoint(eager=False)
     found = truth.join(
         _minhash_cands(docs, MINHASH_PARAMS, sh), ["doc1", "doc2"], "left_semi"
     )
@@ -979,21 +991,21 @@ def dedup_recall_minhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     point); both pipeline sides stay LSH-pruned; final aggregates are 1-row
     frames broadcast-cross-joined."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_frame(docs).localCheckpoint()
+    sh = _shingle_frame(docs)
     # ONE all-pairs truth evaluation (checkpointed pair list) and ONE 16-perm
     # minhash aggregation shared by both band widths: the first 8 minima of
     # the 16-perm frame ARE the 8-perm minhashes (MINHASH_PARAMS_16 extends
     # MINHASH_PARAMS verbatim), so cands8/cands16 band off the same frame.
     # found_k = truth ∩ cands_k (verification is the same exact Jaccard) —
     # value-identical to the original three independent pipeline runs.
-    truth = _truth_pairs(docs, sh).localCheckpoint()
+    truth = _truth_pairs(docs, sh).localCheckpoint(eager=False)
     x = (_hex_hash(F.col("sh")) % P).alias("x")
     h = sh.select("doc_id", x)
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % P).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS_16)
     ]
-    mh = h.groupBy("doc_id").agg(*aggs).localCheckpoint()
+    mh = h.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=False)
 
     def _cands(n_bands: int) -> DataFrame:
         bands = mh.select(
@@ -1095,7 +1107,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         _assign_to_seed_centroids(emb)
         .select("vec_id", "cid", "v", _norm(F.col("v")).alias("nrm"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -1149,7 +1161,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_winnow_fingerprint(spark, sf_dir)
         .select("doc_id", "fp_hash")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = fp.alias("a")
     b = fp.alias("b")
@@ -1201,7 +1213,7 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = _assign_to_centroids(emb, _lloyd_trained_centroids(emb)).localCheckpoint()
+    assigned = _assign_to_centroids(emb, _lloyd_trained_centroids(emb)).localCheckpoint(eager=False)
     a = assigned.alias("a")
     b = assigned.alias("b")
     cos = F.round(

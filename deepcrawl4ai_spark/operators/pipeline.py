@@ -175,7 +175,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one cached DataFrame per invocation across a long session; a
         # localCheckpoint's blocks are reclaimed by the ContextCleaner as
         # soon as the caller drops the result.
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     final_ok = F.col("para_sv") & F.col("sample_ok")
 
@@ -275,7 +275,7 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r8: the char-explode entropy chain is the widest scan in the
         # funnel and is read by surv1 (→ vocab/total/scored, 3-4×) AND the
         # flags join — materialize it once (tiny doc_id+bool frame)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # --- stage 2: CCNet perplexity cut on the entropy SURVIVORS ---
@@ -288,7 +288,7 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8: vocab is read by the total agg and the probability join —
     # checkpoint the vocab-sized partial agg so the survivor-corpus explode
     # behind it runs once, not three times
-    vocab = words.groupBy("word").agg(F.count("*").alias("cnt")).localCheckpoint()
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt")).localCheckpoint(eager=False)
     total = vocab.agg(F.sum("cnt").alias("total"))
     p = vocab.crossJoin(F.broadcast(total)).select(
         "word", (F.col("cnt") / F.col("total")).alias("pw")
@@ -331,7 +331,7 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # one materialization shared by the counts agg and the manifest
         # (the corpus_pipeline localCheckpoint-not-persist rationale)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dedup_sv = F.col("ppl_sv") & F.col("nodup")
     final_ok = dedup_sv & F.col("dsir_ok")
@@ -424,7 +424,7 @@ def _corpus_pipeline_v3_from(docs: DataFrame) -> DataFrame:
         )
         # r8: shared by the classifier's survivor population and the flags
         # join — one evaluation of the char-explode entropy chain
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # --- stage 2: learned gate trained on the entropy SURVIVORS ---
@@ -460,7 +460,7 @@ def _corpus_pipeline_v3_from(docs: DataFrame) -> DataFrame:
         # one materialization shared by counts, the temperature stage and
         # the manifest (the corpus_pipeline localCheckpoint-not-persist
         # rationale)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dedup_sv = F.col("clf_sv") & F.col("nodup")
 

@@ -349,14 +349,14 @@ def kmeans_fixpoint(
 
     e = emb.select(
         "vec_id", F.col("embedding").alias("v"), _norm(F.col("embedding")).alias("nrm")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cents = (
         e.filter(F.col("vec_id") % 50 == 0)
         .select(
             F.col("vec_id").alias("cid"),
             F.transform(F.col("v"), lambda x: x.cast("double")).alias("cv"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     iters = 0
     for _ in range(max_iters):
@@ -392,7 +392,7 @@ def kmeans_fixpoint(
             plan_depths.append(
                 len(nxt._jdf.queryExecution().optimizedPlan().toString().splitlines())
             )
-        nxt = nxt.localCheckpoint()
+        nxt = nxt.localCheckpoint(eager=False)
         iters += 1
         move = (
             nxt.withColumnRenamed("cv", "nv")
@@ -697,7 +697,7 @@ def _ivf_recall_panel_from(
         # keep their Broadcast + WindowGroupLimit audit shape; values are
         # unchanged.
         .filter(F.col("rk") <= 2)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     corpus = ranked.filter((F.col("rk") == 1) & (F.col("vec_id") >= 10)).select(
         "vec_id", "v", "nrm", "cid"

@@ -643,6 +643,10 @@ def _bpe_learn(docs: DataFrame, n_merges: int = 8, plan_depths: list | None = No
             plan_depths.append(
                 len(nxt._jdf.queryExecution().optimizedPlan().toString().splitlines())
             )
+        # EAGER checkpoint here (unlike the query-side lazy ones): the
+        # superseded vocab's blocks are freed on the next line, and a lazy
+        # checkpoint materialized only by the NEXT iteration would find its
+        # parent's blocks already gone (truncated lineage cannot recompute)
         vocab = nxt.localCheckpoint()
         _unpersist_local_checkpoint(prev_vocab)
     out = docs.sparkSession.createDataFrame(
@@ -1089,14 +1093,17 @@ def _classifier_dot(docs: DataFrame) -> DataFrame:
     population-dependent stage pattern).
 
     r8 optimization (guide §2.3 'aggregate before you shuffle' + §5): the
-    corpus is exploded and shuffled EXACTLY ONCE — the per-(doc, lang,
-    bucket) tf frame is eagerly checkpointed and every downstream
-    aggregate (per-bucket lang counts, corpus totals, the gradient, the
-    per-doc dot) derives from it, where the original evaluated the corpus
-    explode once per consumer (3-4×). lang rides the tf key (functionally
-    dependent on doc_id — identical groups), which also drops the second
-    corpus-sized documents join quality_classifier used to re-attach lang
-    (ADVICE r7 #1: that join only auto-broadcast at audit SF)."""
+    corpus explode feeds ONE (doc, lang, bucket) aggregation whose 64-row
+    per-bucket contraction is checkpointed; totals, the gradient and the
+    per-doc dot all derive from those two frames, so the explode runs
+    twice (tf for per_doc + the bucket stats) instead of once per
+    consumer (3-4×) — and the corpus-sized tf frame itself is never
+    cached (holding docs × QC_BUCKETS rows measured slower than
+    re-aggregating at the 10^6-doc leg). lang rides the tf key
+    (functionally dependent on doc_id — identical groups), which also
+    drops the second corpus-sized documents join quality_classifier used
+    to re-attach lang (ADVICE r7 #1: that join only auto-broadcast at
+    audit SF)."""
     words = docs.select(
         "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).select(
@@ -1107,16 +1114,23 @@ def _classifier_dot(docs: DataFrame) -> DataFrame:
             % QC_BUCKETS
         ).alias("bucket"),
     )
-    tf = (
-        words.groupBy("doc_id", "lang", "bucket")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint()
+    tf = words.groupBy("doc_id", "lang", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
     )
-    bucket_cnt = tf.groupBy("bucket").agg(
-        F.sum("cnt").cast("long").alias("cnt_all"),
-        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0))
-        .cast("long")
-        .alias("cnt_en"),
+    # checkpoint the 64-row CONTRACTION, not the corpus-sized tf frame
+    # (caching tf at 10^6 docs holds up to docs x QC_BUCKETS rows —
+    # measured slower than re-aggregating at the 1M-doc leg): tf is
+    # evaluated twice (here and in per_doc), every other consumer reads
+    # the cached 64-row bucket stats
+    bucket_cnt = (
+        tf.groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt_all"),
+            F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("cnt_en"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = bucket_cnt.agg(
         F.sum("cnt_all").cast("long").alias("t_tokens"),
