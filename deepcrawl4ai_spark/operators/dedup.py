@@ -419,19 +419,24 @@ def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_frame(docs: DataFrame) -> DataFrame:
-    """DISTINCT (doc_id, sh) word-3-gram frame — the shared base of the
-    whole MinHash family, passed explicitly so composite queries (verified
-    pairs / recall rows / clusters chain) share one expression instead of
-    rebuilding it per branch. Deliberately NOT checkpointed: at 10^6 docs
-    this frame is ~corpus × shingle-width strings and caching it measured
-    slower than re-evaluating the explode (guide §5) — the small
-    contraction frames derived from it (minhash rows, candidate pairs,
-    candidate-restricted postings, per-doc sizes) are the checkpointed
-    ones. Using the distinct set for the minhash agg is value-identical:
-    min over a multiset equals min over its support."""
+def _shingle_frame_raw(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) word-3-gram frame WITHOUT the corpus-wide distinct —
+    the shared base of the MinHash family (r8). No consumer needs a
+    global distinct pass: minhash minima are duplicate-invariant, the
+    Jaccard denominators use a per-doc count_distinct fold, and the
+    verify postings deduplicate AFTER the candidate semi-join (a far
+    smaller set) — so the corpus-wide distinct shuffle the old shape
+    paid once per consumer is gone outright (guide §2.4). Deliberately
+    not checkpointed: corpus-sized (see the contraction-point rule in
+    OPTIMIZATION_r08.md)."""
     w = docs.select("doc_id", _words(F.col("text")).alias("w"))
-    return w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh")).distinct()
+    return w.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh"))
+
+
+def _shingle_frame(docs: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, sh) frame — needed only where a genuinely global
+    distinct set is consumed (the all-pairs _truth_pairs baseline)."""
+    return _shingle_frame_raw(docs).distinct()
 
 
 def _minhash_cands(docs: DataFrame, params: list, sh: DataFrame | None = None) -> DataFrame:
@@ -716,7 +721,9 @@ def _verified_pairs(
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of a candidate pair set (keep
     jaccard ≥ 0.04) — the second stage of every LSH near-dup pipeline.
-    *sh*: optional precomputed DISTINCT shingle frame (_shingle_frame).
+    *sh*: optional precomputed shingle frame — raw (_shingle_frame_raw)
+    or distinct; both are correct (sizes folds count_distinct per doc and
+    the postings deduplicate after the candidate semi-join).
 
     r8 optimization (guide §3.2 — reduce the big side before the join):
     the shingle-postings self-join is PRE-FILTERED to docs that appear in
@@ -730,7 +737,7 @@ def _verified_pairs(
     shingle sets; sizes (the Jaccard denominator) still come from the full
     per-doc shingle counts."""
     if sh is None:
-        sh = _shingle_frame(docs)
+        sh = _shingle_frame_raw(docs)
     cands = cands.localCheckpoint(eager=False)
     cand_docs = (
         cands.select(F.col("doc1").alias("doc_id"))
@@ -742,10 +749,14 @@ def _verified_pairs(
     # sizes (one row per doc) feeds both denominator joins — caching
     # either costs little; caching sh itself at 10^6 docs means holding
     # ~corpus x shingle-width strings (measured slower at the 1M-doc leg)
-    shc = sh.join(cand_docs, "doc_id", "left_semi").localCheckpoint(eager=False)
+    shc = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = (
         sh.groupBy("doc_id")
-        .agg(F.count("*").alias("n_sh"))
+        .agg(F.count_distinct("sh").alias("n_sh"))
         .localCheckpoint(eager=False)
     )
     a = shc.alias("a")
@@ -781,7 +792,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate stage collapses the pair space; the exact stage only touches
     survivors."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_frame(docs)
+    sh = _shingle_frame_raw(docs)
     return _verified_pairs(docs, _minhash_cands(docs, MINHASH_PARAMS, sh), sh)
 
 
@@ -802,7 +813,7 @@ def _clusters_lp_from(docs: DataFrame) -> DataFrame:
     factored out so corpus_pipeline_v3 and the corpus-scale bench legs can
     run the identical near-dup chain on synthetic corpora. Value-identical
     to the pre-split body (the wrapper merely binds docs to the table)."""
-    sh = _shingle_frame(docs)
+    sh = _shingle_frame_raw(docs)
     # localCheckpoint the PAIR list (not the doubled edge list): the union
     # below reads `pairs` twice, so an uncheckpointed pairs frame ran the
     # whole verify join twice inside the old edges checkpoint (r8). The
